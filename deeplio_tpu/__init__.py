@@ -1,0 +1,33 @@
+"""deeplio_tpu — a TPU-native deep LiDAR-Inertial Odometry framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of the
+public PyTorch research framework ``ArashJavan/DeepLIO`` (reference layout
+documented in SURVEY.md; the reference mount was unavailable, so citations
+are upstream-path based, e.g. ``deeplio/models/nets/deeplio_nets.py``).
+
+Design pillars (TPU-first, NOT a port):
+
+* The spherical point-cloud projection runs **on device** (XLA scatter-min /
+  Pallas kernel) instead of in host DataLoader workers.
+* The whole model zoo (PointSeg towers, IMU LSTM, fusion, odometry RNN,
+  pose heads) plus loss and backward compile to a single XLA graph.
+* Data parallelism is first-class via ``jax.sharding.Mesh`` + ``shard_map``
+  with ``psum`` gradient reduction over ICI.
+* Static shapes everywhere: variable-length IMU windows become pad+mask,
+  per-drive frame counts become fixed window combinations.
+
+Package layout:
+  utils/     spatial math (SO3/SE3/quaternion), logging, meters, trees
+  config/    typed config schema + YAML loader (reference-compatible keys)
+  data/      KITTI raw host reader, OXTS parsing, pipeline, synthetic fixture
+  ops/       device kernels: spherical projection (XLA + Pallas), masked LSTM
+  models/    Fire/SE blocks, PointSeg, lidar/imu/odom feature nets, fusion,
+             heads, and the deepio/deeplo/deeplio zoo factory
+  losses/    HWS / LWS pose losses (L1/L2/geodesic quaternion terms)
+  parallel/  mesh construction, sharding rules, collective helpers
+  train/     TrainState, jitted+shard_mapped train step, loop, checkpointing
+  eval/      trajectory chaining, ATE/RPE + KITTI odometry metrics, plotting
+  cli/       train/test entry points (argv-compatible with the reference)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,425 @@
+"""Typed configuration schema (reference: root ``config.yaml`` + per-module
+sub-dicts loaded with PyYAML — SURVEY.md §2.2/§5 "Config/flag system").
+
+The YAML surface keeps the reference's hyphenated key style and overall
+shape: a ``datasets`` block, an ``arch`` selector choosing one of
+``deepio | deeplo | deeplio``, per-arch blocks naming their feature nets,
+per-net blocks, a ``losses`` block and an ``optimizer``/``train`` block.
+Everything is parsed into frozen dataclasses with validation so a typo'd key
+fails loudly instead of silently training the wrong model.
+
+NOTE: the reference mount was empty at survey time; exact key names were
+reconstructed from model knowledge of the upstream repo. If the mount
+appears, re-verify this schema first (SURVEY.md provenance section).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# Channels the projection can emit, in canonical order. "normals" expands to
+# 3 channels (nx, ny, nz).
+CHANNEL_ORDER = ("x", "y", "z", "remission", "depth", "normals")
+
+# Default KITTI raw-drive <-> odometry-sequence mapping (SURVEY.md §2.2).
+ODOMETRY_SEQUENCES: Dict[str, Tuple[str, int, int, int]] = {
+    # seq: (date, drive, start_frame, end_frame)
+    "00": ("2011_10_03", 27, 0, 4540),
+    "01": ("2011_10_03", 42, 0, 1100),
+    "02": ("2011_10_03", 34, 0, 4660),
+    "04": ("2011_09_30", 16, 0, 270),
+    "05": ("2011_09_30", 18, 0, 2760),
+    "06": ("2011_09_30", 20, 0, 1100),
+    "07": ("2011_09_30", 27, 0, 1100),
+    "08": ("2011_09_30", 28, 1100, 5170),
+    "09": ("2011_09_30", 33, 0, 1590),
+    "10": ("2011_09_30", 34, 0, 1200),
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _get(d: Dict[str, Any], key: str, default=None):
+    """Fetch a key accepting both hyphenated (YAML) and underscored names."""
+    if key in d:
+        return d[key]
+    alt = key.replace("-", "_")
+    if alt in d:
+        return d[alt]
+    alt = key.replace("_", "-")
+    if alt in d:
+        return d[alt]
+    return default
+
+
+def _require(d: Dict[str, Any], key: str, ctx: str):
+    v = _get(d, key, None)
+    if v is None:
+        raise ConfigError(f"missing required config key '{key}' in {ctx}")
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ProjectionConfig:
+    """Spherical range-image projection parameters (SqueezeSeg convention)."""
+    height: int = 64
+    width: int = 1024
+    fov_up_deg: float = 3.0
+    fov_down_deg: float = -25.0
+    max_points: int = 131072  # static per-scan point capacity (pad/truncate)
+
+    @property
+    def fov_rad(self) -> float:
+        import math
+        return (self.fov_up_deg - self.fov_down_deg) * math.pi / 180.0
+
+    @property
+    def fov_down_rad(self) -> float:
+        import math
+        return self.fov_down_deg * math.pi / 180.0
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    root_path: str = ""
+    # drives per split: {"2011_10_03": [27, 42], ...}
+    train: Dict[str, List[int]] = field(default_factory=dict)
+    validation: Dict[str, List[int]] = field(default_factory=dict)
+    test: Dict[str, List[int]] = field(default_factory=dict)
+    # temporal window
+    sequence_size: int = 2
+    combinations: Tuple[Tuple[int, int], ...] = ()  # default: consecutive
+    # projection + channels
+    channels: Tuple[str, ...] = ("x", "y", "z", "remission", "depth")
+    projection: ProjectionConfig = field(default_factory=ProjectionConfig)
+    # per-channel normalization (applied fused with projection on device)
+    mean: Tuple[float, ...] = ()
+    std: Tuple[float, ...] = ()
+    # IMU windows between frame pairs: pad/mask to this static length
+    max_imu_per_pair: int = 16
+    # synthetic fixture mode for CI / benches without KITTI on disk
+    synthetic: bool = False
+    synthetic_frames: int = 64
+
+    @property
+    def effective_combinations(self) -> Tuple[Tuple[int, int], ...]:
+        if self.combinations:
+            return self.combinations
+        return tuple((i, i + 1) for i in range(self.sequence_size - 1))
+
+    @property
+    def num_pairs(self) -> int:
+        return len(self.effective_combinations)
+
+    @property
+    def num_image_channels(self) -> int:
+        n = 0
+        for c in self.channels:
+            n += 3 if c == "normals" else 1
+        return n
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "DatasetConfig":
+        kitti = _get(d, "kitti", {}) or {}
+        proj = ProjectionConfig(
+            height=int(_get(d, "image-height", 64)),
+            width=int(_get(d, "image-width", 1024)),
+            fov_up_deg=float(_get(d, "fov-up", 3.0)),
+            fov_down_deg=float(_get(d, "fov-down", -25.0)),
+            max_points=int(_get(d, "max-points", 131072)),
+        )
+        combos = tuple(tuple(c) for c in (_get(d, "combinations", None) or ()))
+        channels = tuple(_get(d, "channels", ["x", "y", "z", "remission", "depth"]))
+        for c in channels:
+            if c not in CHANNEL_ORDER:
+                raise ConfigError(f"unknown projection channel '{c}'")
+        return DatasetConfig(
+            root_path=str(_get(kitti, "root-path", _get(d, "root-path", ""))),
+            train={str(k): list(v) for k, v in (_get(kitti, "train", {}) or {}).items()},
+            validation={str(k): list(v) for k, v in (_get(kitti, "validation", {}) or {}).items()},
+            test={str(k): list(v) for k, v in (_get(kitti, "test", {}) or {}).items()},
+            sequence_size=int(_get(d, "sequence-size", 2)),
+            combinations=combos,
+            channels=channels,
+            projection=proj,
+            mean=tuple(float(x) for x in (_get(d, "mean", []) or [])),
+            std=tuple(float(x) for x in (_get(d, "std", []) or [])),
+            max_imu_per_pair=int(_get(d, "max-imu-per-pair", 16)),
+            synthetic=bool(_get(d, "synthetic", False)),
+            synthetic_frames=int(_get(d, "synthetic-frames", 64)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Nets
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LidarFeatConfig:
+    # reference net names: lidar-feat-pointseg | lidar-feat-simple-0 | -1
+    # (SURVEY.md §2.3 LidarPointSegFeat / LidarSimpleFeat0/1)
+    name: str = "lidar-feat-pointseg"
+    # pointseg options
+    part: str = "encoder"        # encoder | encoder+decoder
+    bypass: bool = False         # skip-connection bypass mode
+    base_channels: int = 64
+    dropout: float = 0.0
+    pretrained: bool = False
+    model_path: str = ""
+    feature_size: int = 512      # flattened output feature dim (simple nets)
+
+    @staticmethod
+    def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
+        return LidarFeatConfig(
+            name=name,
+            part=str(_get(d, "part", "encoder")),
+            bypass=bool(_get(d, "bypass", False)),
+            base_channels=int(_get(d, "base-channels", 64)),
+            dropout=float(_get(d, "dropout", 0.0)),
+            pretrained=bool(_get(d, "pretrained", False)),
+            model_path=str(_get(d, "model-path", "")),
+            feature_size=int(_get(d, "feature-size", 512)),
+        )
+
+
+@dataclass(frozen=True)
+class ImuFeatConfig:
+    name: str = "imu-feat-rnn"   # imu-feat-rnn | imu-feat-fc
+    rnn_type: str = "lstm"       # lstm | gru
+    input_size: int = 6          # [ax,ay,az,wx,wy,wz]
+    hidden_size: int = 128
+    num_layers: int = 2
+    bidirectional: bool = False
+
+    @staticmethod
+    def from_dict(name: str, d: Dict[str, Any]) -> "ImuFeatConfig":
+        return ImuFeatConfig(
+            name=name,
+            rnn_type=str(_get(d, "type", "lstm")),
+            input_size=int(_get(d, "input-size", 6)),
+            hidden_size=int(_get(d, "hidden-size", 128)),
+            num_layers=int(_get(d, "num-layers", 2)),
+            bidirectional=bool(_get(d, "bidirectional", False)),
+        )
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    kind: str = "soft"  # soft | hard  (reference fusion-net: {type: ...})
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "FusionConfig":
+        kind = str(_get(d, "type", "soft"))
+        if kind not in ("soft", "hard"):
+            raise ConfigError(f"fusion-net type must be soft|hard, got {kind}")
+        return FusionConfig(kind=kind)
+
+
+@dataclass(frozen=True)
+class OdomFeatConfig:
+    name: str = "odom-feat-rnn"  # odom-feat-rnn | odom-feat-fc
+    rnn_type: str = "lstm"
+    hidden_size: int = 256
+    num_layers: int = 2
+
+    @staticmethod
+    def from_dict(name: str, d: Dict[str, Any]) -> "OdomFeatConfig":
+        return OdomFeatConfig(
+            name=name,
+            rnn_type=str(_get(d, "type", "lstm")),
+            hidden_size=int(_get(d, "hidden-size", 256)),
+            num_layers=int(_get(d, "num-layers", 2)),
+        )
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "deeplio"  # deepio | deeplo | deeplio
+    dropout: float = 0.25
+    lidar: Optional[LidarFeatConfig] = None
+    imu: Optional[ImuFeatConfig] = None
+    fusion: Optional[FusionConfig] = None
+    odom: OdomFeatConfig = field(default_factory=OdomFeatConfig)
+    pretrained: bool = False
+    model_path: str = ""
+    # precision policy: bf16 activations on TPU, f32 params everywhere
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    def validate(self) -> None:
+        if self.arch not in ("deepio", "deeplo", "deeplio"):
+            raise ConfigError(f"arch must be deepio|deeplo|deeplio, got {self.arch}")
+        if self.arch in ("deeplo", "deeplio") and self.lidar is None:
+            raise ConfigError(f"arch {self.arch} requires a lidar-feat-net block")
+        if self.arch in ("deepio", "deeplio") and self.imu is None:
+            raise ConfigError(f"arch {self.arch} requires an imu-feat-net block")
+        if self.arch == "deeplio" and self.fusion is None:
+            raise ConfigError("arch deeplio requires a fusion-net block")
+
+
+# ---------------------------------------------------------------------------
+# Loss / optimizer / train
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LossConfig:
+    # active loss: hws (fixed beta) | lws (learned Kendall uncertainty)
+    # (reference: deeplio/losses/losses.py HWSLoss / LWSLoss)
+    active: str = "lws"
+    # translation/rotation norms: l1 | l2 ; rotation also supports geodesic
+    x_norm: str = "l2"
+    q_norm: str = "l2"
+    beta: float = 1120.0   # hws rotation weight
+    sx: float = 0.0        # lws learned log-variance inits
+    sq: float = -2.5
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "LossConfig":
+        active = str(_get(d, "active", _get(d, "type", "lws"))).lower()
+        hws = _get(d, "hws", {}) or {}
+        lws = _get(d, "lws", {}) or {}
+        return LossConfig(
+            active=active,
+            x_norm=str(_get(d, "x-norm", "l2")),
+            q_norm=str(_get(d, "q-norm", "l2")),
+            beta=float(_get(hws, "beta", _get(d, "beta", 1120.0))),
+            sx=float(_get(lws, "sx", _get(d, "sx", 0.0))),
+            sq=float(_get(lws, "sq", _get(d, "sq", -2.5))),
+        )
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    name: str = "adam"         # adam | sgd
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    momentum: float = 0.9      # sgd only
+    # scheduler: none | step | cosine
+    scheduler: str = "none"
+    step_size: int = 20        # epochs per decay (step)
+    gamma: float = 0.5
+    warmup_steps: int = 0
+    grad_clip: float = 0.0     # 0 = off
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "OptimConfig":
+        sched = _get(d, "scheduler", {}) or {}
+        if isinstance(sched, str):
+            sched = {"name": sched}
+        return OptimConfig(
+            name=str(_get(d, "name", _get(d, "type", "adam"))).lower(),
+            lr=float(_get(d, "lr", 1e-4)),
+            weight_decay=float(_get(d, "weight-decay", 0.0)),
+            momentum=float(_get(d, "momentum", 0.9)),
+            scheduler=str(_get(sched, "name", "none")).lower(),
+            step_size=int(_get(sched, "step-size", 20)),
+            gamma=float(_get(sched, "gamma", 0.5)),
+            warmup_steps=int(_get(sched, "warmup-steps", 0)),
+            grad_clip=float(_get(d, "grad-clip", 0.0)),
+        )
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    epochs: int = 50
+    seed: int = 42
+    log_every: int = 25
+    eval_every_epochs: int = 1
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every_steps: int = 500
+    keep_checkpoints: int = 3
+    # device mesh: data-parallel size (-1 = all local devices)
+    data_parallel: int = -1
+    prefetch: int = 2
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "TrainConfig":
+        return TrainConfig(
+            batch_size=int(_get(d, "batch-size", 8)),
+            epochs=int(_get(d, "epochs", 50)),
+            seed=int(_get(d, "seed", 42)),
+            log_every=int(_get(d, "log-every", 25)),
+            eval_every_epochs=int(_get(d, "eval-every-epochs", 1)),
+            checkpoint_dir=str(_get(d, "checkpoint-dir", "checkpoints")),
+            checkpoint_every_steps=int(_get(d, "checkpoint-every-steps", 500)),
+            keep_checkpoints=int(_get(d, "keep-checkpoints", 3)),
+            data_parallel=int(_get(d, "data-parallel", -1)),
+            prefetch=int(_get(d, "prefetch", 2)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Config:
+    datasets: DatasetConfig
+    model: ModelConfig
+    loss: LossConfig
+    optim: OptimConfig
+    train: TrainConfig
+    raw: Dict[str, Any] = field(default_factory=dict, compare=False, repr=False)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        datasets = DatasetConfig.from_dict(_get(d, "datasets", {}) or {})
+        arch = str(_get(d, "arch", "deeplio")).lower()
+        arch_block: Dict[str, Any] = _get(d, arch, {}) or {}
+
+        lidar = imu = fusion = None
+        if arch in ("deeplo", "deeplio"):
+            lname = str(_require(arch_block, "lidar-feat-net", f"'{arch}' block")
+                        if isinstance(_get(arch_block, "lidar-feat-net"), str)
+                        else _get(_get(arch_block, "lidar-feat-net", {}) or {}, "name",
+                                  "lidar-feat-pointseg"))
+            lidar = LidarFeatConfig.from_dict(lname, _get(d, lname, {}) or {})
+        if arch in ("deepio", "deeplio"):
+            iname = str(_get(arch_block, "imu-feat-net", "imu-feat-rnn")
+                        if isinstance(_get(arch_block, "imu-feat-net"), str)
+                        else _get(_get(arch_block, "imu-feat-net", {}) or {}, "name",
+                                  "imu-feat-rnn"))
+            imu = ImuFeatConfig.from_dict(iname, _get(d, iname, {}) or {})
+        if arch == "deeplio":
+            fusion = FusionConfig.from_dict(_get(arch_block, "fusion-net", {}) or {})
+
+        oname = str(_get(arch_block, "odom-feat-net", "odom-feat-rnn")
+                    if isinstance(_get(arch_block, "odom-feat-net"), str)
+                    else _get(_get(arch_block, "odom-feat-net", {}) or {}, "name",
+                              "odom-feat-rnn"))
+        odom = OdomFeatConfig.from_dict(oname, _get(d, oname, {}) or {})
+
+        model = ModelConfig(
+            arch=arch,
+            dropout=float(_get(arch_block, "dropout", 0.25)),
+            lidar=lidar,
+            imu=imu,
+            fusion=fusion,
+            odom=odom,
+            pretrained=bool(_get(arch_block, "pretrained", False)),
+            model_path=str(_get(arch_block, "model-path", "")),
+            compute_dtype=str(_get(d, "compute-dtype", "bfloat16")),
+            param_dtype=str(_get(d, "param-dtype", "float32")),
+        )
+        model.validate()
+
+        return Config(
+            datasets=datasets,
+            model=model,
+            loss=LossConfig.from_dict(_get(d, "losses", {}) or {}),
+            optim=OptimConfig.from_dict(_get(d, "optimizer", {}) or {}),
+            train=TrainConfig.from_dict(_get(d, "train", {}) or {}),
+            raw=dict(d),
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
