@@ -1,0 +1,194 @@
+"""Synthetic KITTI-shaped fixture generation (SURVEY.md §4 item 2).
+
+The reference has no test data generator — its tests are manual runs on
+real KITTI. CI here must run hermetically, so this module fabricates a
+"drive": a static world point cloud observed from a smooth trajectory,
+OXTS-style 100 Hz IMU records derived from that trajectory, and 10 Hz scan
+timestamps. Geometry is self-consistent: relative poses computed from the
+fabricated OXTS records equal the trajectory's true relative motion, so a
+model can actually learn from the fixture and loss-decrease tests are
+meaningful.
+
+Everything here is host-side numpy in float64 (geodesy precision), exported
+as float32 arrays shaped exactly like the real KITTI loader's output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+GRAVITY = 9.80665
+LIDAR_HZ = 10.0
+IMU_HZ = 100.0
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def synthetic_world(num_points: int = 40000, seed: int = 0) -> np.ndarray:
+    """Random world geometry: ground plane points + scattered pillars/walls."""
+    rng = np.random.default_rng(seed)
+    n_ground = num_points // 2
+    n_struct = num_points - n_ground
+
+    # Ground: annulus around origin, z ~= -1.7 (sensor height), small noise.
+    rr = rng.uniform(3.0, 60.0, n_ground)
+    th = rng.uniform(-np.pi, np.pi, n_ground)
+    ground = np.stack(
+        [rr * np.cos(th), rr * np.sin(th), -1.7 + 0.05 * rng.normal(size=n_ground)], -1
+    )
+
+    # Structures: vertical pillars at random XY with height 0..3m.
+    n_pillars = 60
+    centers = rng.uniform(-50, 50, (n_pillars, 2))
+    pts = []
+    per = n_struct // n_pillars
+    for c in centers:
+        z = rng.uniform(-1.7, 2.5, per)
+        xy = c + 0.3 * rng.normal(size=(per, 2))
+        pts.append(np.concatenate([xy, z[:, None]], -1))
+    struct = np.concatenate(pts, 0)[:n_struct]
+    world = np.concatenate([ground, struct], 0)
+    return world.astype(np.float64)
+
+
+def synthetic_trajectory(
+    n_frames: int, seed: int = 0, speed: float = 8.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Smooth vehicle trajectory.
+
+    Returns (T_world_body [n,4,4] float64, times [n] float64 at 10 Hz).
+    Gentle arc with varying yaw rate — enough excitation for the IMU branch.
+    """
+    rng = np.random.default_rng(seed + 1)
+    dt = 1.0 / LIDAR_HZ
+    times = np.arange(n_frames) * dt
+    yaw_rate = 0.08 * np.sin(2 * np.pi * times / 8.0) + 0.02 * rng.standard_normal()
+    yaws = np.cumsum(yaw_rate * dt)
+    vel = speed * (1.0 + 0.1 * np.sin(2 * np.pi * times / 5.0))
+    xy = np.zeros((n_frames, 2))
+    for i in range(1, n_frames):
+        h = yaws[i - 1]
+        xy[i] = xy[i - 1] + vel[i - 1] * dt * np.array([np.cos(h), np.sin(h)])
+    Ts = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        Ts[i, :3, :3] = _rotz(yaws[i])
+        Ts[i, :3, 3] = [xy[i, 0], xy[i, 1], 0.0]
+        Ts[i, 3, 3] = 1.0
+    return Ts, times
+
+
+@dataclass
+class SyntheticOxts:
+    """OXTS-like records: times [m], and per-record (lat/lon/alt/rpy + imu)."""
+    times: np.ndarray          # [m]
+    # packed 30-field-ish record; we keep the fields the loader consumes:
+    lat: np.ndarray            # [m] degrees
+    lon: np.ndarray
+    alt: np.ndarray
+    roll: np.ndarray           # [m] radians
+    pitch: np.ndarray
+    yaw: np.ndarray
+    acc: np.ndarray            # [m, 3] body-frame m/s^2 (incl. gravity)
+    gyro: np.ndarray           # [m, 3] body-frame rad/s
+
+
+def synthetic_oxts(Ts: np.ndarray, frame_times: np.ndarray, seed: int = 0,
+                   lat0: float = 49.0, lon0: float = 8.43, alt0: float = 112.0
+                   ) -> SyntheticOxts:
+    """Fabricate 100 Hz OXTS records consistent with the 10 Hz trajectory.
+
+    Positions are converted to lat/lon by inverting the mercator projection
+    the loader applies (KITTI devkit convention), so loader-computed poses
+    round-trip to the trajectory. IMU accel/gyro are finite-difference body
+    rates plus gravity, with light noise.
+    """
+    rng = np.random.default_rng(seed + 2)
+    er = 6378137.0
+    scale = np.cos(np.deg2rad(lat0))
+    # world position of frame 0 maps to (lat0, lon0).
+    x0 = scale * np.deg2rad(lon0) * er
+    y0 = er * scale * np.log(np.tan(np.deg2rad(90.0 + lat0) / 2.0))
+
+    t_end = frame_times[-1]
+    m = int(np.floor(t_end * IMU_HZ)) + 1
+    times = np.arange(m) / IMU_HZ
+
+    # Interpolate trajectory to 100 Hz (linear pos, linear yaw — fine for fixture).
+    fx = np.interp(times, frame_times, Ts[:, 0, 3])
+    fy = np.interp(times, frame_times, Ts[:, 1, 3])
+    fz = np.interp(times, frame_times, Ts[:, 2, 3])
+    yaw_f = np.unwrap(np.arctan2(Ts[:, 1, 0], Ts[:, 0, 0]))
+    yw = np.interp(times, frame_times, yaw_f)
+
+    lon = np.rad2deg((fx + x0) / (scale * er))
+    lat = np.rad2deg(2.0 * np.arctan(np.exp((fy + y0) / (er * scale))) - np.pi / 2.0)
+    alt = fz + alt0
+
+    dt = 1.0 / IMU_HZ
+    vx = np.gradient(fx, dt)
+    vy = np.gradient(fy, dt)
+    vz = np.gradient(fz, dt)
+    ax_w = np.gradient(vx, dt)
+    ay_w = np.gradient(vy, dt)
+    az_w = np.gradient(vz, dt) + GRAVITY
+    wz = np.gradient(yw, dt)
+
+    acc = np.zeros((m, 3))
+    gyro = np.zeros((m, 3))
+    for i in range(m):
+        Rwb = _rotz(yw[i])
+        acc[i] = Rwb.T @ np.array([ax_w[i], ay_w[i], az_w[i]])
+        gyro[i] = [0.0, 0.0, wz[i]]
+    acc += 0.02 * rng.standard_normal(acc.shape)
+    gyro += 0.002 * rng.standard_normal(gyro.shape)
+
+    zeros = np.zeros(m)
+    return SyntheticOxts(
+        times=times, lat=lat, lon=lon, alt=alt,
+        roll=zeros, pitch=zeros, yaw=yw, acc=acc, gyro=gyro,
+    )
+
+
+def synthetic_scan(
+    world: np.ndarray,
+    T_world_body: np.ndarray,
+    max_points: int,
+    seed: int = 0,
+    max_range: float = 80.0,
+    fov_up_deg: float = 3.0,
+    fov_down_deg: float = -25.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Observe the world from one pose: body-frame (x,y,z,remission) + valid.
+
+    Returns (points [max_points, 4] float32, valid [max_points] bool) —
+    exactly the padded-scan contract of :mod:`deeplio_tpu.ops.projection`.
+    """
+    rng = np.random.default_rng(seed + 3)
+    Rwb, t = T_world_body[:3, :3], T_world_body[:3, 3]
+    body = (world - t) @ Rwb  # R^T (p - t)
+    r = np.linalg.norm(body, axis=-1)
+    pitch = np.arcsin(np.clip(body[:, 2] / np.maximum(r, 1e-9), -1, 1))
+    keep = (
+        (r > 2.0)
+        & (r < max_range)
+        & (pitch < np.deg2rad(fov_up_deg))
+        & (pitch > np.deg2rad(fov_down_deg))
+    )
+    body = body[keep]
+    if body.shape[0] > max_points:
+        sel = rng.choice(body.shape[0], max_points, replace=False)
+        body = body[sel]
+    n = body.shape[0]
+    remission = rng.uniform(0.05, 0.95, (n, 1))
+    pts = np.zeros((max_points, 4), np.float32)
+    pts[:n, :3] = body
+    pts[:n, 3:] = remission
+    valid = np.zeros(max_points, bool)
+    valid[:n] = True
+    return pts, valid

@@ -1,0 +1,313 @@
+"""Device-side spherical ("range-image") projection of LiDAR scans.
+
+Reference capability: the numpy projection inside the DataLoader workers
+(``deeplio/datasets/kitti.py`` — SqueezeSeg-style spherical projection,
+SURVEY.md §2.2), which is the reference's pipeline bottleneck. Here it runs
+ON DEVICE inside the compiled step, and surface normals + per-channel
+normalization fuse into the same graph (BASELINE.json north-star).
+
+Projection convention (SqueezeSeg, documented because the reference mount
+was unavailable to diff against):
+
+    r     = ||p||_2                      (euclidean range)
+    yaw   = atan2(y, x)            in [-pi, pi]
+    pitch = asin(z / r)
+    u     = floor(0.5 * (1 - yaw/pi) * W)            clamped to [0, W-1]
+    v     = floor((1 - (pitch - fov_down)/fov) * H)  clamped to [0, H-1]
+
+Conflict resolution: the point with the smallest range wins a pixel.
+
+TPU implementation notes (measured on v5e):
+  * XLA scatter is serialized on TPU: a straightforward ``.at[pix].min``
+    projection runs at ~100-150 scans/s — unusable.
+  * ``jax.lax.sort`` is fast. The production path is the **two-sort
+    compaction**: append one sentinel row per pixel (so every pixel has at
+    least one element), sort everything by a single int32 key
+    ``pixel << RQ_BITS | quantized_range`` (stable — index breaks ties),
+    mark run-starts (= per-pixel winners, already in pixel order), and a
+    second stable sort compacts those HW winners to the front, which *is*
+    the image. Zero scatters, zero gathers: ~785 scans/s for
+    131k-point/64x1024 scans at batch 8 on one v5e chip (~13x faster than
+    scatter). Range ties inside one quantization step (1 cm by default)
+    break toward the smaller point index.
+  * vmap'ing scatter/gather lowers to slow batched ops — this module is
+    written batch-explicit instead.
+
+All shapes are static: scans are padded/truncated to ``max_points`` with a
+validity mask, so the whole pipeline jits once.
+
+Layout: images are NHWC (..., H, W, C) — channels-last for TPU convs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplio_tpu.config.schema import ProjectionConfig
+
+# Range quantization for the combined sort key: 1cm steps. RQ_MAX is
+# reserved for the per-pixel sentinel rows, real ranges clamp to RQ_MAX-1.
+DEFAULT_RQ_BITS = 14
+
+
+def _rq_bits_for(n_pix: int) -> int:
+    """Largest quantization width so (n_pix << bits) | mask fits in int31."""
+    bits = DEFAULT_RQ_BITS
+    while bits > 8 and (n_pix + 1) << bits >= 2**31:
+        bits -= 1
+    if (n_pix + 1) << bits >= 2**31:
+        raise ValueError(f"image with {n_pix} pixels too large for int32 sort key")
+    return bits
+
+
+def spherical_uv(
+    xyz: jax.Array, H: int, W: int, fov_up_deg: float, fov_down_deg: float
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-point (u, v, range). xyz: [..., 3] -> int32 u, v and f32 r."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    r_safe = jnp.maximum(r, 1e-9)
+    yaw = jnp.arctan2(y, x)
+    pitch = jnp.arcsin(jnp.clip(z / r_safe, -1.0, 1.0))
+    fov_down = np.float32(np.deg2rad(fov_down_deg))
+    fov = np.float32(np.deg2rad(fov_up_deg - fov_down_deg))
+    u = jnp.floor(0.5 * (1.0 - yaw / np.float32(np.pi)) * W).astype(jnp.int32)
+    v = jnp.floor((1.0 - (pitch - fov_down) / fov) * H).astype(jnp.int32)
+    u = jnp.clip(u, 0, W - 1)
+    v = jnp.clip(v, 0, H - 1)
+    return u, v, r
+
+
+def project_batch(
+    points: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Project a batch of padded scans to dense multi-channel range images.
+
+    The production TPU path (two-sort compaction, see module docstring).
+
+    Args:
+      points: [B, N, 4] float32 (x, y, z, remission), padded.
+      valid:  [B, N] bool validity mask.
+
+    Returns:
+      img:  [B, H, W, 5] float32 — channels (x, y, z, remission, range);
+            empty pixels are 0.
+      mask: [B, H, W] float32 — 1.0 where a point landed.
+    """
+    b, n = points.shape[0], points.shape[1]
+    n_pix = H * W
+    rq_bits = _rq_bits_for(n_pix)
+    rq_max = (1 << rq_bits) - 1
+    # 1cm steps unless the key budget forces coarser.
+    rq_scale = 100.0 if rq_bits >= DEFAULT_RQ_BITS else (1 << rq_bits) / 164.0
+
+    xyz = points[..., :3]
+    u, v, r = spherical_uv(xyz, H, W, fov_up_deg, fov_down_deg)
+    ok = valid & (r > 1e-6)
+    pix = jnp.where(ok, v * W + u, n_pix)
+    rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+    key = (pix << rq_bits) | jnp.where(ok, rq, rq_max - 1)
+
+    # Sentinel rows: one per pixel, guaranteed to lose to any real point
+    # (rq == rq_max) and to make every pixel's run non-empty.
+    sent = (jnp.arange(n_pix, dtype=jnp.int32) << rq_bits) | rq_max
+    key_all = jnp.concatenate([key, jnp.broadcast_to(sent, (b, n_pix))], axis=1)
+    ch = (points[..., 0], points[..., 1], points[..., 2], points[..., 3], r)
+    zpad = jnp.zeros((b, n_pix), jnp.float32)
+    ch_all = [jnp.concatenate([c, zpad], axis=1) for c in ch]
+
+    outs = jax.lax.sort((key_all, *ch_all), num_keys=1, is_stable=True, dimension=-1)
+    key_s, ch_s = outs[0], outs[1:]
+    pix_s = key_s >> rq_bits
+
+    # Run-starts are the per-pixel winners, already in pixel order.
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), pix_s[:, 1:] != pix_s[:, :-1]], axis=1
+    )
+    keep = first & (pix_s < n_pix)
+    key2 = jnp.where(keep, pix_s, n_pix + 1)
+    outs2 = jax.lax.sort((key2, key_s, *ch_s), num_keys=1, is_stable=True, dimension=-1)
+    key_c = outs2[1][:, :n_pix]
+    ch_c = [c[:, :n_pix] for c in outs2[2:]]
+
+    # A pixel is empty iff its winner is the sentinel (low bits == rq_max).
+    mask = ((key_c & rq_max) != rq_max).astype(jnp.float32)
+    img = jnp.stack(ch_c, -1) * mask[..., None]
+    return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
+
+
+def project_scan(
+    points: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-scan wrapper around :func:`project_batch` ([N,4] -> [H,W,5])."""
+    img, mask = project_batch(points[None], valid[None], H, W, fov_up_deg, fov_down_deg)
+    return img[0], mask[0]
+
+
+def compute_normals(img_xyz: jax.Array, mask: jax.Array) -> jax.Array:
+    """Surface normals from the projected vertex map (batch-polymorphic).
+
+    n(v,u) = normalize( (V[v,u+1]-V[v,u]) x (V[v+1,u]-V[v,u]) ), with
+    wrap-around in azimuth (full revolution scan) and clamp at the last
+    elevation row; pixels with an incomplete 3-point stencil get a zero
+    normal. Matches the reference's range-image-neighbor cross-product
+    normals (SURVEY.md §2.2) but runs fused on device.
+
+    Args:
+      img_xyz: [..., H, W, 3] vertex map; mask: [..., H, W].
+    """
+    V = img_xyz
+    m = mask > 0.5
+    V_right = jnp.roll(V, -1, axis=-2)
+    m_right = jnp.roll(m, -1, axis=-1)
+    V_down = jnp.concatenate([V[..., 1:, :, :], V[..., -1:, :, :]], axis=-3)
+    m_down = jnp.concatenate(
+        [m[..., 1:, :], jnp.zeros_like(m[..., -1:, :])], axis=-2
+    )
+    n = jnp.cross(V_right - V, V_down - V)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-9)
+    ok = (m & m_right & m_down)[..., None]
+    return jnp.where(ok, n, 0.0)
+
+
+def assemble_channels(
+    img5: jax.Array,
+    mask: jax.Array,
+    channels: Sequence[str],
+) -> jax.Array:
+    """Select/compose the configured channel stack from the 5-channel
+    projection (+ optional normals). Static w.r.t. config."""
+    chan_idx = {"x": 0, "y": 1, "z": 2, "remission": 3, "depth": 4}
+    outs = []
+    normals = None
+    for c in channels:
+        if c == "normals":
+            if normals is None:
+                normals = compute_normals(img5[..., :3], mask)
+            outs.append(normals)
+        else:
+            outs.append(img5[..., chan_idx[c] : chan_idx[c] + 1])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def normalize_channels(
+    img: jax.Array, mask: jax.Array, mean: Sequence[float], std: Sequence[float]
+) -> jax.Array:
+    """Fused per-channel (x - mean)/std, zeroing empty pixels.
+
+    The reference applies this as a separate torch transform
+    (``deeplio/datasets/transforms.py``); here XLA fuses it into the
+    projection graph for free.
+    """
+    if len(mean) == 0:
+        return img * mask[..., None]
+    mu = jnp.asarray(mean, jnp.float32)
+    sd = jnp.asarray(std, jnp.float32)
+    return (img - mu) / sd * mask[..., None]
+
+
+def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
+                   mean: Sequence[float] = (), std: Sequence[float] = ()):
+    """Build the jit-ready batched scan->image function for a config.
+
+    Returns fn(points [..., N, 4], valid [..., N]) ->
+    (img [..., H, W, C], mask [..., H, W]). Leading dims are flattened into
+    one batch for the sort-based kernel (batch-explicit beats vmap here).
+    """
+    H, W = cfg_proj.height, cfg_proj.width
+    fu, fd = cfg_proj.fov_up_deg, cfg_proj.fov_down_deg
+
+    if mean and len(mean) != _num_ch(channels):
+        raise ValueError(
+            f"normalization mean has {len(mean)} entries for "
+            f"{_num_ch(channels)} channels {tuple(channels)}"
+        )
+
+    def project(points: jax.Array, valid: jax.Array):
+        lead = points.shape[:-2]
+        n = points.shape[-2]
+        pts = points.reshape((-1, n, 4))
+        vld = valid.reshape((-1, n))
+        img5, mask = project_batch(pts, vld, H, W, fu, fd)
+        img = assemble_channels(img5, mask, channels)
+        img = normalize_channels(img, mask, mean, std)
+        c = img.shape[-1]
+        return img.reshape(lead + (H, W, c)), mask.reshape(lead + (H, W))
+
+    return project
+
+
+def _num_ch(channels: Sequence[str]) -> int:
+    return sum(3 if c == "normals" else 1 for c in channels)
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle — the parity reference for kernel implementations.
+# ---------------------------------------------------------------------------
+
+def project_scan_np(
+    points: np.ndarray,
+    valid: np.ndarray,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    quantize: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sequential-fill oracle with identical semantics to :func:`project_batch`.
+
+    Mirrors the reference's host-side numpy projection behaviour: iterate
+    points in order, keep the closest range per pixel (ties -> first point).
+    With ``quantize=True`` (default) the comparison uses the same quantized
+    range as the production sort key, so winners match bit-exactly; with
+    ``quantize=False`` the comparison is exact-float (sub-centimetre ties may
+    pick a different, equally-close point). Deliberately simple; tests only.
+    """
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    yaw = np.arctan2(y, x)
+    pitch = np.arcsin(np.clip(z / np.maximum(r, 1e-9), -1.0, 1.0))
+    fov_down = np.float32(np.deg2rad(fov_down_deg))
+    fov = np.float32(np.deg2rad(fov_up_deg - fov_down_deg))
+    u = np.floor(0.5 * (1.0 - yaw / np.float32(np.pi)) * W).astype(np.int64)
+    v = np.floor((1.0 - (pitch - fov_down) / fov) * H).astype(np.int64)
+    u = np.clip(u, 0, W - 1)
+    v = np.clip(v, 0, H - 1)
+
+    if quantize:
+        rq_bits = _rq_bits_for(H * W)
+        rq_max = (1 << rq_bits) - 1
+        rq_scale = 100.0 if rq_bits >= DEFAULT_RQ_BITS else (1 << rq_bits) / 164.0
+        cmp = np.clip((r * rq_scale).astype(np.int64), 0, rq_max - 1)
+    else:
+        cmp = r
+
+    img = np.zeros((H, W, 5), np.float32)
+    mask = np.zeros((H, W), np.float32)
+    best = np.full((H, W), np.inf, np.float64)
+    ok = np.asarray(valid, bool) & (r > 1e-6)
+    for i in range(points.shape[0]):
+        if not ok[i]:
+            continue
+        vi, ui = v[i], u[i]
+        if cmp[i] < best[vi, ui]:
+            best[vi, ui] = cmp[i]
+            img[vi, ui, :4] = points[i, :4]
+            img[vi, ui, 4] = r[i]
+            mask[vi, ui] = 1.0
+    return img, mask

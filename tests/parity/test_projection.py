@@ -1,0 +1,166 @@
+"""Projection kernel parity vs the sequential numpy oracle (SURVEY.md §4:
+exact index parity on synthetic clouds)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplio_tpu.config.schema import ProjectionConfig
+from deeplio_tpu.data.synthetic import synthetic_scan, synthetic_trajectory, synthetic_world
+from deeplio_tpu.ops import projection as proj
+
+H, W = 32, 256
+FU, FD = 3.0, -25.0
+
+
+def assert_img_parity(img_j, img_n):
+    """Winner channels (x,y,z,remission) are copies -> bit-exact; the range
+    channel is recomputed (jnp FMA vs numpy) -> ulp tolerance."""
+    img_j = np.asarray(img_j)
+    np.testing.assert_array_equal(img_j[..., :4], img_n[..., :4])
+    np.testing.assert_allclose(img_j[..., 4], img_n[..., 4], atol=1e-5, rtol=1e-6)
+
+
+def _random_cloud(rng, n, n_valid=None):
+    pts = np.zeros((n, 4), np.float32)
+    m = n if n_valid is None else n_valid
+    rr = rng.uniform(2.0, 70.0, m)
+    yaw = rng.uniform(-np.pi, np.pi, m)
+    pitch = rng.uniform(np.deg2rad(FD), np.deg2rad(FU), m)
+    pts[:m, 0] = rr * np.cos(pitch) * np.cos(yaw)
+    pts[:m, 1] = rr * np.cos(pitch) * np.sin(yaw)
+    pts[:m, 2] = rr * np.sin(pitch)
+    pts[:m, 3] = rng.uniform(0, 1, m)
+    valid = np.zeros(n, bool)
+    valid[:m] = True
+    return pts, valid
+
+
+class TestParity:
+    @pytest.mark.parametrize("n,seed", [(512, 0), (4096, 1), (20000, 2)])
+    def test_exact_parity_random(self, n, seed):
+        rng = np.random.default_rng(seed)
+        pts, valid = _random_cloud(rng, n)
+        img_j, mask_j = jax.jit(
+            lambda p, v: proj.project_scan(p, v, H, W, FU, FD)
+        )(jnp.asarray(pts), jnp.asarray(valid))
+        img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD)
+        np.testing.assert_array_equal(np.asarray(mask_j), mask_n)
+        assert_img_parity(img_j, img_n)
+
+    def test_parity_with_padding(self):
+        rng = np.random.default_rng(3)
+        pts, valid = _random_cloud(rng, 4096, n_valid=1000)
+        # Poison the padded region — it must be ignored.
+        pts[1000:] = 123.0
+        img_j, mask_j = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD)
+        np.testing.assert_array_equal(np.asarray(mask_j), mask_n)
+        assert_img_parity(img_j, img_n)
+
+    def test_parity_synthetic_drive(self):
+        world = synthetic_world(20000, seed=5)
+        Ts, _ = synthetic_trajectory(3, seed=5)
+        for i in range(3):
+            pts, valid = synthetic_scan(world, Ts[i], 16384, seed=i)
+            img_j, mask_j = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+            img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD)
+            np.testing.assert_array_equal(np.asarray(mask_j), mask_n)
+            np.testing.assert_array_equal(np.asarray(img_j), img_n)
+
+    def test_tie_break_first_index_wins(self):
+        # Two identical points -> the first one wins (its remission shows).
+        pts = np.zeros((8, 4), np.float32)
+        pts[0] = [10.0, 0.0, 0.0, 0.25]
+        pts[1] = [10.0, 0.0, 0.0, 0.75]
+        valid = np.zeros(8, bool)
+        valid[:2] = True
+        img, mask = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        img_n, _ = proj.project_scan_np(pts, valid, H, W, FU, FD)
+        got = np.asarray(img)
+        assert mask.sum() == 1.0
+        np.testing.assert_array_equal(got, img_n)
+        assert got[..., 3].max() == np.float32(0.25)
+
+    def test_closest_wins(self):
+        pts = np.zeros((4, 4), np.float32)
+        pts[0] = [20.0, 0.0, 0.0, 0.1]
+        pts[1] = [10.0, 0.0, 0.0, 0.9]  # closer, same direction
+        valid = np.array([True, True, False, False])
+        img, mask = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        got = np.asarray(img)
+        assert got[..., 4].max() == np.float32(10.0)
+        assert got[..., 3].max() == np.float32(0.9)
+
+    def test_all_invalid(self):
+        pts = np.ones((16, 4), np.float32)
+        valid = np.zeros(16, bool)
+        img, mask = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        assert float(jnp.abs(img).sum()) == 0.0
+        assert float(mask.sum()) == 0.0
+
+
+class TestNormals:
+    def test_wall_normal(self):
+        # A vertical wall at x=10 -> normals should point along -x (toward
+        # or away from sensor depending on winding); check axis alignment.
+        rng = np.random.default_rng(0)
+        ys = rng.uniform(-3, 3, 5000)
+        zs = rng.uniform(-2, 1, 5000)
+        pts = np.zeros((8192, 4), np.float32)
+        pts[:5000] = np.stack([np.full(5000, 10.0), ys, zs, np.ones(5000)], -1)
+        valid = np.zeros(8192, bool)
+        valid[:5000] = True
+        img, mask = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        n = proj.compute_normals(img[..., :3], mask)
+        n = np.asarray(n)
+        filled = np.asarray(mask) > 0.5
+        # Consider only pixels with a complete stencil (nonzero normal).
+        nz = np.linalg.norm(n, axis=-1) > 0.5
+        sel = filled & nz
+        assert sel.sum() > 50
+        ax = np.abs(n[sel])
+        assert (ax[:, 0] > 0.9).mean() > 0.8  # dominantly +-x
+
+    def test_normals_zero_on_empty(self):
+        img = jnp.zeros((H, W, 3))
+        mask = jnp.zeros((H, W))
+        n = proj.compute_normals(img, mask)
+        assert float(jnp.abs(n).sum()) == 0.0
+
+
+class TestChannelsAndNormalize:
+    def test_assemble_order_and_width(self):
+        rng = np.random.default_rng(1)
+        pts, valid = _random_cloud(rng, 2048)
+        img5, mask = proj.project_scan(jnp.asarray(pts), jnp.asarray(valid), H, W, FU, FD)
+        img = proj.assemble_channels(img5, mask, ["depth", "remission", "normals"])
+        assert img.shape == (H, W, 5)
+        np.testing.assert_array_equal(np.asarray(img[..., 0]), np.asarray(img5[..., 4]))
+        np.testing.assert_array_equal(np.asarray(img[..., 1]), np.asarray(img5[..., 3]))
+
+    def test_normalize_zeroes_empty(self):
+        img = jnp.ones((4, 4, 2))
+        mask = jnp.zeros((4, 4)).at[0, 0].set(1.0)
+        out = proj.normalize_channels(img, mask, [0.5, 0.0], [0.5, 2.0])
+        out = np.asarray(out)
+        assert out[0, 0, 0] == 1.0 and out[0, 0, 1] == 0.5
+        assert np.abs(out[1:, :, :]).sum() == 0.0
+
+    def test_make_projector_end_to_end_jit_vmap(self):
+        cfg = ProjectionConfig(height=H, width=W, fov_up_deg=FU, fov_down_deg=FD)
+        fn = proj.make_projector(cfg, ["x", "y", "z", "remission", "depth"],
+                                 mean=[0, 0, 0, 0.5, 20.0], std=[10, 10, 2, 0.3, 20.0])
+        rng = np.random.default_rng(2)
+        batch_pts = np.stack([_random_cloud(rng, 2048)[0] for _ in range(3)])
+        batch_valid = np.ones((3, 2048), bool)
+        imgs, masks = jax.jit(jax.vmap(fn))(jnp.asarray(batch_pts), jnp.asarray(batch_valid))
+        assert imgs.shape == (3, H, W, 5)
+        assert masks.shape == (3, H, W)
+        assert np.isfinite(np.asarray(imgs)).all()
+
+    def test_projector_rejects_bad_mean_width(self):
+        cfg = ProjectionConfig(height=H, width=W)
+        with pytest.raises(ValueError):
+            proj.make_projector(cfg, ["depth"], mean=[1, 2], std=[1, 2])
