@@ -1,0 +1,118 @@
+"""SqueezeSeg/PointSeg building blocks (reference:
+``deeplio/models/nets/pointseg_modules.py`` — Fire, FireDeconv, SELayer;
+SURVEY.md §2.3), as flax modules in NHWC/bf16 for the TPU MXU.
+
+Conventions:
+  * channels-last (NHWC); all convs SAME padding;
+  * compute dtype configurable (bf16 on TPU), params f32;
+  * BatchNorm supports an optional ``axis_name`` so statistics sync across
+    a data-parallel mesh axis when the train step runs under shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    use_bn: bool = True
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+                    use_bias=not self.use_bn, dtype=self.dtype)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             dtype=self.dtype, axis_name=self.axis_name)(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation channel attention (PointSeg's SE block)."""
+
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(-3, -2))                     # [B, C]
+        s = nn.Dense(max(c // self.reduction, 4), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype)(s)
+        s = jax.nn.sigmoid(s)
+        return x * s[..., None, None, :]
+
+
+class Fire(nn.Module):
+    """Fire module: 1x1 squeeze -> parallel 1x1 + 3x3 expands, concat."""
+
+    squeeze: int
+    expand1: int
+    expand3: int
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        s = ConvBN(self.squeeze, (1, 1), use_bn=self.use_bn, dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train)
+        e1 = nn.Conv(self.expand1, (1, 1), padding="SAME", dtype=self.dtype)(s)
+        e3 = nn.Conv(self.expand3, (3, 3), padding="SAME", dtype=self.dtype)(s)
+        return nn.relu(jnp.concatenate([e1, e3], axis=-1))
+
+
+class FireDeconv(nn.Module):
+    """Fire module with a width-upsampling transposed conv (decoder side).
+
+    Upsamples W by 2 (H preserved) — the SqueezeSeg decoder convention for
+    range images whose height is the laser count.
+    """
+
+    squeeze: int
+    expand1: int
+    expand3: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        s = nn.Conv(self.squeeze, (1, 1), padding="SAME", dtype=self.dtype)(x)
+        s = nn.relu(s)
+        s = nn.ConvTranspose(self.squeeze, (1, 4), strides=(1, 2),
+                             padding="SAME", dtype=self.dtype)(s)
+        s = nn.relu(s)
+        e1 = nn.Conv(self.expand1, (1, 1), padding="SAME", dtype=self.dtype)(s)
+        e3 = nn.Conv(self.expand3, (3, 3), padding="SAME", dtype=self.dtype)(s)
+        return nn.relu(jnp.concatenate([e1, e3], axis=-1))
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid "enlargement layer" (PointSeg's EL block):
+    parallel dilated 3x3 branches + 1x1, summed."""
+
+    features: int
+    rates: Tuple[int, ...] = (1, 2, 4)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = [nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)(x)]
+        for r in self.rates:
+            outs.append(
+                nn.Conv(self.features, (3, 3), padding="SAME",
+                        kernel_dilation=(r, r), dtype=self.dtype)(x)
+            )
+        return nn.relu(sum(outs))

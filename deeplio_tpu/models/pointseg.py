@@ -1,0 +1,111 @@
+"""PointSeg segmentation backbone (reference:
+``deeplio/models/nets/pointseg_net.py`` — SqueezeSeg-style conv stem, Fire
+encoder with SE attention and an ASPP/EL context layer, FireDeconv decoder
+with skip connections; SURVEY.md §2.3).
+
+Used two ways, like the reference:
+  * standalone segmentation net (``num_classes`` logits per pixel) so the
+    backbone can be pretrained on segmentation labels, and
+  * as the LiDAR odometry feature encoder (``part="encoder"``), returning
+    the bottleneck feature map (plus skip maps if a caller wants them).
+
+Downsampling is width-biased: strides (1,2) keep all 64 laser rows while
+azimuth shrinks — the SqueezeSeg convention for range images.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deeplio_tpu.models.blocks import ASPP, ConvBN, Fire, FireDeconv, SELayer
+
+
+class PointSegEncoder(nn.Module):
+    """Conv stem + Fire stack. Returns (bottleneck, skips)."""
+
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+    use_bn: bool = True
+    with_se: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ax = self.axis_name
+        # Stem: H preserved, W/2.
+        c1 = ConvBN(64, (3, 3), (1, 2), use_bn=self.use_bn, dtype=self.dtype,
+                    axis_name=ax)(x, train)          # [H, W/2, 64]
+        p1 = nn.max_pool(c1, (3, 3), strides=(1, 2), padding="SAME")  # W/4
+
+        f2 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(p1, train)
+        f3 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(f2, train)
+        if self.with_se:
+            f3 = SELayer(dtype=self.dtype)(f3)
+        f3 = f3 + f2                                        # residual
+        p3 = nn.max_pool(f3, (3, 3), strides=(1, 2), padding="SAME")  # W/8
+
+        f4 = Fire(32, 128, 128, self.use_bn, self.dtype, ax)(p3, train)
+        f5 = Fire(32, 128, 128, self.use_bn, self.dtype, ax)(f4, train)
+        if self.with_se:
+            f5 = SELayer(dtype=self.dtype)(f5)
+        f5 = f5 + f4
+        p5 = nn.max_pool(f5, (3, 3), strides=(1, 2), padding="SAME")  # W/16
+
+        f6 = Fire(48, 192, 192, self.use_bn, self.dtype, ax)(p5, train)
+        f7 = Fire(48, 192, 192, self.use_bn, self.dtype, ax)(f6, train)
+        f8 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f7, train)
+        f9 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f8, train)
+        el = ASPP(512, dtype=self.dtype)(f9)                # context layer
+
+        skips = (c1, f3, f5)  # W/2, W/4, W/8 grids
+        return el, skips
+
+
+class PointSegDecoder(nn.Module):
+    """FireDeconv upsampling chain with encoder skips -> per-pixel features."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, train: bool = True):
+        c1, f3, f5 = skips
+        d10 = FireDeconv(64, 128, 128, self.dtype)(x, train)     # W/8
+        d10 = d10 + f5
+        d11 = FireDeconv(32, 64, 64, self.dtype)(d10, train)     # W/4
+        d11 = d11 + f3
+        d12 = FireDeconv(16, 32, 32, self.dtype)(d11, train)     # W/2
+        d12 = d12 + c1
+        return d12
+
+
+class PointSegNet(nn.Module):
+    """Full segmentation net: encoder (+decoder) (+classifier head).
+
+    part: "encoder" -> returns bottleneck feature map [B, H, W/16, 512]
+          "encoder+decoder" -> per-pixel feature map [B, H, W/2, 64]
+    num_classes: if set (standalone segmentation use), a 1x1 conv head (+
+          width-2 upsample) maps decoder features to [B, H, W, classes].
+    """
+
+    part: str = "encoder"
+    num_classes: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
+                                      name="encoder")(x, train)
+        if self.part == "encoder" and self.num_classes is None:
+            return feat
+        dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)
+        if self.num_classes is None:
+            return dec
+        up = nn.ConvTranspose(64, (1, 4), strides=(1, 2), padding="SAME",
+                              dtype=self.dtype)(dec)       # back to full W
+        logits = nn.Conv(self.num_classes, (1, 1), padding="SAME",
+                         dtype=jnp.float32)(up)
+        return logits

@@ -1,0 +1,192 @@
+"""Top-level model zoo and factory (reference:
+``deeplio/models/nets/deeplio_nets.py`` DeepIO/DeepLO/DeepLIO and the
+``get_model(cfg)`` factory in ``nets/__init__.py``; SURVEY.md §2.3, §3.3).
+
+The forward contract for every arch:
+
+    apply(variables, batch, train=...) -> (x_pred [B,P,3], q_pred [B,P,4])
+
+with ``batch`` a dict of:
+    images:   [B, P, H, W, 2C]  pair-stacked projected frames (lidar archs)
+    imu:      [B, P, T, 6]      padded IMU windows  (imu archs)
+    imu_mask: [B, P, T]         validity of IMU samples
+
+P = number of frame pairs per window (static, from config combinations).
+The whole zoo compiles into one XLA graph together with projection and the
+loss (BASELINE.json north-star).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deeplio_tpu.config.schema import Config, ModelConfig
+from deeplio_tpu.models.feat_nets import (
+    FusionLayer,
+    ImuFeatFC,
+    ImuFeatRnn,
+    LidarPointSegFeat,
+    LidarSimpleFeat0,
+    LidarSimpleFeat1,
+    OdomFeatFC,
+    OdomFeatRNN,
+    PoseHeads,
+)
+
+Batch = Dict[str, jax.Array]
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def _flat_pairs(x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
+    """[B, P, ...] -> ([B*P, ...], (B, P))"""
+    b, p = x.shape[0], x.shape[1]
+    return x.reshape((b * p,) + x.shape[2:]), (b, p)
+
+
+def _make_lidar_net(cfg: ModelConfig, dtype, axis_name):
+    lc = cfg.lidar
+    if lc.name == "lidar-feat-pointseg":
+        return LidarPointSegFeat(
+            feature_size=lc.feature_size, part=lc.part, dropout=lc.dropout,
+            dtype=dtype, axis_name=axis_name, name="lidar_feat")
+    if lc.name == "lidar-feat-simple-0":
+        return LidarSimpleFeat0(
+            feature_size=lc.feature_size, base_channels=lc.base_channels,
+            dropout=lc.dropout, dtype=dtype, axis_name=axis_name,
+            name="lidar_feat")
+    if lc.name == "lidar-feat-simple-1":
+        return LidarSimpleFeat1(
+            feature_size=lc.feature_size, base_channels=lc.base_channels,
+            dropout=lc.dropout, dtype=dtype, axis_name=axis_name,
+            name="lidar_feat")
+    raise ValueError(f"unknown lidar feat net '{lc.name}'")
+
+
+def _make_imu_net(cfg: ModelConfig, dtype):
+    ic = cfg.imu
+    if ic.name == "imu-feat-rnn":
+        return ImuFeatRnn(hidden_size=ic.hidden_size, num_layers=ic.num_layers,
+                          cell=ic.rnn_type, bidirectional=ic.bidirectional,
+                          dtype=dtype, name="imu_feat")
+    if ic.name == "imu-feat-fc":
+        return ImuFeatFC(hidden_size=ic.hidden_size, num_layers=ic.num_layers,
+                         dtype=dtype, name="imu_feat")
+    raise ValueError(f"unknown imu feat net '{ic.name}'")
+
+
+def _make_odom_net(cfg: ModelConfig, dtype):
+    oc = cfg.odom
+    if oc.name == "odom-feat-rnn":
+        return OdomFeatRNN(hidden_size=oc.hidden_size, num_layers=oc.num_layers,
+                           cell=oc.rnn_type, dtype=dtype, name="odom_feat")
+    if oc.name == "odom-feat-fc":
+        return OdomFeatFC(hidden_size=oc.hidden_size, num_layers=oc.num_layers,
+                          dtype=dtype, name="odom_feat")
+    raise ValueError(f"unknown odom feat net '{oc.name}'")
+
+
+class DeepIO(nn.Module):
+    """IMU-only odometry: imu-feat -> odom-feat -> heads."""
+
+    cfg: ModelConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = True):
+        dt = _dtype_of(self.cfg.compute_dtype)
+        imu, (b, p) = _flat_pairs(batch["imu"])
+        mask, _ = _flat_pairs(batch["imu_mask"])
+        feat = _make_imu_net(self.cfg, dt)(imu.astype(dt), mask, train)
+        feat = feat.reshape(b, p, -1)
+        feat = _make_odom_net(self.cfg, dt)(feat, train)
+        flat, _ = _flat_pairs(feat)
+        x, q = PoseHeads(dropout=self.cfg.dropout, dtype=dt, name="heads")(flat, train)
+        return x.reshape(b, p, 3), q.reshape(b, p, 4)
+
+
+class DeepLO(nn.Module):
+    """LiDAR-only odometry: lidar-feat -> odom-feat -> heads."""
+
+    cfg: ModelConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = True):
+        dt = _dtype_of(self.cfg.compute_dtype)
+        imgs, (b, p) = _flat_pairs(batch["images"])
+        feat = _make_lidar_net(self.cfg, dt, self.axis_name)(imgs.astype(dt), train)
+        feat = feat.reshape(b, p, -1)
+        feat = _make_odom_net(self.cfg, dt)(feat, train)
+        flat, _ = _flat_pairs(feat)
+        x, q = PoseHeads(dropout=self.cfg.dropout, dtype=dt, name="heads")(flat, train)
+        return x.reshape(b, p, 3), q.reshape(b, p, 4)
+
+
+class DeepLIO(nn.Module):
+    """Fused odometry: lidar-feat (+) imu-feat -> fusion -> odom -> heads."""
+
+    cfg: ModelConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = True):
+        dt = _dtype_of(self.cfg.compute_dtype)
+        imgs, (b, p) = _flat_pairs(batch["images"])
+        lidar = _make_lidar_net(self.cfg, dt, self.axis_name)(imgs.astype(dt), train)
+        imu, _ = _flat_pairs(batch["imu"])
+        mask, _ = _flat_pairs(batch["imu_mask"])
+        imu_f = _make_imu_net(self.cfg, dt)(imu.astype(dt), mask, train)
+        fused = FusionLayer(kind=self.cfg.fusion.kind, dtype=dt,
+                            name="fusion")(lidar, imu_f, train)
+        fused = fused.reshape(b, p, -1)
+        feat = _make_odom_net(self.cfg, dt)(fused, train)
+        flat, _ = _flat_pairs(feat)
+        x, q = PoseHeads(dropout=self.cfg.dropout, dtype=dt, name="heads")(flat, train)
+        return x.reshape(b, p, 3), q.reshape(b, p, 4)
+
+
+def build_model(cfg: Config, axis_name: Optional[str] = None) -> nn.Module:
+    """Factory: config -> flax module (reference ``get_model``)."""
+    mc = cfg.model
+    if mc.arch == "deepio":
+        return DeepIO(mc, axis_name)
+    if mc.arch == "deeplo":
+        return DeepLO(mc, axis_name)
+    if mc.arch == "deeplio":
+        return DeepLIO(mc, axis_name)
+    raise ValueError(f"unknown arch '{mc.arch}'")
+
+
+def example_batch(cfg: Config, batch_size: int = 2) -> Batch:
+    """Zero batch with the shapes the model expects — used for init and by
+    compile-check entry points."""
+    ds = cfg.datasets
+    p = ds.num_pairs
+    h, w = ds.projection.height, ds.projection.width
+    c = ds.num_image_channels
+    t = ds.max_imu_per_pair
+    batch: Batch = {}
+    if cfg.model.arch in ("deeplo", "deeplio"):
+        batch["images"] = jnp.zeros((batch_size, p, h, w, 2 * c), jnp.float32)
+    if cfg.model.arch in ("deepio", "deeplio"):
+        batch["imu"] = jnp.zeros((batch_size, p, t, 6), jnp.float32)
+        batch["imu_mask"] = jnp.zeros((batch_size, p, t), jnp.float32)
+    return batch
+
+
+def init_model(cfg: Config, rng: jax.Array, batch_size: int = 2,
+               axis_name: Optional[str] = None):
+    """Initialise (model, variables) from config with a zero batch."""
+    model = build_model(cfg, axis_name)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        example_batch(cfg, batch_size), train=False)
+    return model, variables

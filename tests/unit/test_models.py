@@ -1,0 +1,142 @@
+"""Model zoo tests: all three archs build from config, emit correct shapes,
+take gradients, and respect variant switches (SURVEY.md §2.3/§3.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplio_tpu.config import load_config_dict
+from deeplio_tpu.models import build_model, example_batch, init_model
+
+SMALL_DS = {
+    "sequence-size": 3,
+    "combinations": [[0, 1], [1, 2]],
+    "channels": ["x", "y", "z", "remission", "depth"],
+    "image-height": 16,
+    "image-width": 128,
+    "max-imu-per-pair": 8,
+}
+
+
+def _cfg(arch, **over):
+    d = {
+        "arch": arch,
+        "datasets": dict(SMALL_DS),
+        "compute-dtype": "float32",
+        arch: {
+            "lidar-feat-net": {"name": over.pop("lidar", "lidar-feat-simple-0")},
+            "imu-feat-net": {"name": over.pop("imu", "imu-feat-rnn")},
+            "fusion-net": {"type": over.pop("fusion", "soft")},
+            "odom-feat-net": {"name": over.pop("odom", "odom-feat-rnn")},
+            "dropout": 0.1,
+        },
+        "lidar-feat-simple-0": {"feature-size": 64, "base-channels": 8},
+        "lidar-feat-simple-1": {"feature-size": 64, "base-channels": 8},
+        "lidar-feat-pointseg": {"feature-size": 64},
+        "imu-feat-rnn": {"hidden-size": 16, "num-layers": 2},
+        "imu-feat-fc": {"hidden-size": 16},
+        "odom-feat-rnn": {"hidden-size": 32, "num-layers": 1},
+        "odom-feat-fc": {"hidden-size": 32},
+    }
+    d.update(over)
+    return load_config_dict(d)
+
+
+def _random_batch(cfg, B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    b = example_batch(cfg, B)
+    return {k: jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+            for k, v in b.items()}
+
+
+@pytest.mark.parametrize("arch", ["deepio", "deeplo", "deeplio"])
+def test_arch_forward_shapes(arch):
+    cfg = _cfg(arch)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    batch = _random_batch(cfg)
+    x, q = model.apply(variables, batch, train=False)
+    assert x.shape == (2, 2, 3)
+    assert q.shape == (2, 2, 4)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+@pytest.mark.parametrize("lidar", ["lidar-feat-simple-0", "lidar-feat-simple-1",
+                                   "lidar-feat-pointseg"])
+def test_lidar_variants(lidar):
+    cfg = _cfg("deeplo", lidar=lidar)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x, q = model.apply(variables, _random_batch(cfg), train=False)
+    assert x.shape == (2, 2, 3)
+
+
+@pytest.mark.parametrize("imu", ["imu-feat-rnn", "imu-feat-fc"])
+@pytest.mark.parametrize("odom", ["odom-feat-rnn", "odom-feat-fc"])
+def test_imu_odom_variants(imu, odom):
+    cfg = _cfg("deepio", imu=imu, odom=odom)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x, q = model.apply(variables, _random_batch(cfg), train=False)
+    assert x.shape == (2, 2, 3)
+
+
+@pytest.mark.parametrize("fusion", ["soft", "hard"])
+def test_fusion_kinds(fusion):
+    cfg = _cfg("deeplio", fusion=fusion)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    x, q = model.apply(variables, _random_batch(cfg), train=False)
+    assert x.shape == (2, 2, 3)
+    has_gate = "fusion" in variables["params"]
+    assert has_gate == (fusion == "soft")
+
+
+def test_gradients_flow_and_finite():
+    cfg = _cfg("deeplio")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    batch = _random_batch(cfg)
+
+    def loss_fn(params):
+        x, q = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])[0]
+        return (x ** 2).sum() + (q ** 2).sum()
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    nonzero = sum(float(jnp.abs(l).sum()) > 0 for l in leaves)
+    assert nonzero > len(leaves) * 0.5
+
+
+def test_dropout_active_in_train_mode():
+    cfg = _cfg("deepio")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    batch = _random_batch(cfg)
+    y1 = model.apply(variables, batch, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})[0]
+    y2 = model.apply(variables, batch, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})[0]
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    e1 = model.apply(variables, batch, train=False)[0]
+    e2 = model.apply(variables, batch, train=False)[0]
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_pointseg_standalone_segmentation():
+    from deeplio_tpu.models.pointseg import PointSegNet
+    net = PointSegNet(part="encoder+decoder", num_classes=4)
+    x = jnp.zeros((1, 16, 128, 5))
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    logits = net.apply(v, x, train=False)
+    assert logits.shape == (1, 16, 128, 4)
+
+
+def test_jit_forward():
+    cfg = _cfg("deeplio")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    batch = _random_batch(cfg)
+    f = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    x, q = f(variables, batch)
+    assert x.shape == (2, 2, 3)
