@@ -1,0 +1,118 @@
+"""Window dataset + batch assembly (reference:
+``deeplio/datasets/kitti.py::Kitti(Dataset)`` + its custom collate —
+SURVEY.md §2.2/§3.4).
+
+Each item is a temporal window of ``sequence-size`` frames from one drive;
+the configured ``combinations`` define the P frame pairs. Per pair the item
+carries the IMU samples timestamped between the two frames — PADDED to the
+static ``max-imu-per-pair`` length with a mask (the reference returns
+variable-length lists and a custom collate; XLA needs pad+mask, SURVEY.md
+§7 hard-part 2) — and the float64-derived relative pose GT (dx, dq).
+
+Projection does NOT happen here: raw padded scans go to device and are
+projected inside the compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deeplio_tpu.config.schema import Config, DatasetConfig
+from deeplio_tpu.data import np_spatial as nsp
+from deeplio_tpu.data.drives import Drive, KittiRawDrive, SyntheticDrive
+
+
+class WindowDataset:
+    def __init__(self, ds_cfg: DatasetConfig, drives: Sequence[Drive],
+                 with_points: bool = True):
+        self.cfg = ds_cfg
+        self.drives = list(drives)
+        self.with_points = with_points
+        S = ds_cfg.sequence_size
+        self.index: List[Tuple[int, int]] = []
+        for di, d in enumerate(self.drives):
+            n_windows = max(len(d) - S + 1, 0)
+            self.index.extend((di, s) for s in range(n_windows))
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        di, s = self.index[idx]
+        d = self.drives[di]
+        S = self.cfg.sequence_size
+        combos = self.cfg.effective_combinations
+        P = len(combos)
+        T = self.cfg.max_imu_per_pair
+
+        item: Dict[str, np.ndarray] = {}
+        if self.with_points:
+            pts, vld = zip(*[d.points(s + k) for k in range(S)])
+            item["points"] = np.stack(pts)            # [S, N, 4]
+            item["points_valid"] = np.stack(vld)      # [S, N]
+
+        imu = np.zeros((P, T, 6), np.float32)
+        imu_mask = np.zeros((P, T), np.float32)
+        x_gt = np.zeros((P, 3), np.float32)
+        q_gt = np.zeros((P, 4), np.float32)
+        valid = np.ones((P,), np.float32)
+        for pi, (i, j) in enumerate(combos):
+            ti, tj = d.frame_time(s + i), d.frame_time(s + j)
+            w = d.imu_between(ti, tj)
+            k = min(len(w), T)
+            if k > 0:
+                imu[pi, :k] = w[:k]
+                imu_mask[pi, :k] = 1.0
+            else:
+                valid[pi] = 0.0  # no IMU between frames: degraded pair
+            dx, dq = nsp.relative_pose(d.pose(s + i), d.pose(s + j))
+            x_gt[pi] = dx.astype(np.float32)
+            q_gt[pi] = dq.astype(np.float32)
+        item.update(imu=imu, imu_mask=imu_mask, x_gt=x_gt, q_gt=q_gt, valid=valid)
+        item["meta"] = np.asarray([di, s], np.int32)
+        return item
+
+    def iter_batches(self, batch_size: int, shuffle: bool = True,
+                     seed: int = 0, drop_last: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n = len(order)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for b0 in range(0, end, batch_size):
+            sel = order[b0:b0 + batch_size]
+            items = [self.get(int(i)) for i in sel]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return len(self) // batch_size
+
+
+def build_drives(cfg: Config, split: str) -> List[Drive]:
+    """Instantiate drives for a split ('train'|'validation'|'test').
+
+    With ``datasets.synthetic: true`` the split maps to deterministic
+    synthetic drives (hermetic CI / benches, SURVEY.md §4 item 2).
+    """
+    ds = cfg.datasets
+    if ds.synthetic:
+        seeds = {"train": (0, 1), "validation": (100,), "test": (200,)}[split]
+        return [SyntheticDrive(n_frames=ds.synthetic_frames,
+                               max_points=ds.projection.max_points, seed=sd)
+                for sd in seeds]
+    split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
+    drives: List[Drive] = []
+    for date, ids in split_map[split].items():
+        for drive in ids:
+            drives.append(KittiRawDrive(ds.root_path, date, int(drive),
+                                        max_points=ds.projection.max_points))
+    return drives
+
+
+def build_dataset(cfg: Config, split: str) -> WindowDataset:
+    with_points = cfg.model.arch in ("deeplo", "deeplio")
+    return WindowDataset(cfg.datasets, build_drives(cfg, split),
+                         with_points=with_points)

@@ -1,0 +1,221 @@
+"""Drive abstractions: real KITTI raw drives and the synthetic fixture.
+
+Reference: ``deeplio/datasets/kitti.py::KittiRawData`` (SURVEY.md §2.2) —
+lazy per-drive access to velodyne scans, OXTS records and timestamps, plus
+global-pose computation via the mercator trick. Differences by design:
+
+  * scans are padded/truncated to a STATIC ``max_points`` with a validity
+    mask (XLA static shapes);
+  * poses are computed in float64 on host and normalised to a drive-local
+    origin (f32-safe magnitudes on device);
+  * projection does NOT happen here — it runs on device inside the
+    compiled step (ops/projection.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+from deeplio_tpu.data import np_spatial as nsp
+from deeplio_tpu.data import synthetic as syn
+
+
+class Drive:
+    """Interface: one continuously-recorded drive."""
+
+    name: str = "drive"
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def points(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Padded scan i: ([max_points, 4] f32, [max_points] bool)."""
+        raise NotImplementedError
+
+    def frame_time(self, i: int) -> float:
+        raise NotImplementedError
+
+    def pose(self, i: int) -> np.ndarray:
+        """Drive-local global pose of frame i, float64 [4,4]."""
+        raise NotImplementedError
+
+    def imu_between(self, t0: float, t1: float) -> np.ndarray:
+        """IMU samples [K, 6] = (ax,ay,az,wx,wy,wz) with t0 < t <= t1."""
+        raise NotImplementedError
+
+
+class KittiRawDrive(Drive):
+    """One KITTI raw sync'd drive: ``<root>/<date>/<date>_drive_%04d_sync``.
+
+    Layout (KITTI raw devkit):
+      velodyne_points/data/%010d.bin  float32 Nx4 (x,y,z,remission)
+      velodyne_points/timestamps.txt
+      oxts/data/%010d.txt             30-field GPS/IMU record
+      oxts/timestamps.txt
+    """
+
+    # 0-based field indices in an OXTS record.
+    _LAT, _LON, _ALT, _ROLL, _PITCH, _YAW = 0, 1, 2, 3, 4, 5
+    _AX, _AY, _AZ = 11, 12, 13     # body-frame acceleration
+    _WX, _WY, _WZ = 17, 18, 19     # body-frame angular rates
+
+    def __init__(self, root: str, date: str, drive: int, max_points: int = 131072,
+                 start: int = 0, end: int = -1):
+        self.root = root
+        self.date = date
+        self.drive = drive
+        self.max_points = max_points
+        base = os.path.join(root, date, f"{date}_drive_{drive:04d}_sync")
+        self.velo_dir = os.path.join(base, "velodyne_points", "data")
+        self.oxts_dir = os.path.join(base, "oxts", "data")
+        self.name = f"{date}_drive_{drive:04d}"
+
+        self.velo_times = self._read_timestamps(
+            os.path.join(base, "velodyne_points", "timestamps.txt"))
+        self.oxts_times = self._read_timestamps(
+            os.path.join(base, "oxts", "timestamps.txt"))
+        n = len(self.velo_times)
+        end = n if end < 0 else min(end + 1, n)
+        self.start, self.end = start, end
+
+        # Load all OXTS records eagerly (small: ~30 floats x frames).
+        recs = []
+        for i in range(len(self.oxts_times)):
+            recs.append(np.loadtxt(os.path.join(self.oxts_dir, f"{i:010d}.txt")))
+        self.oxts = np.stack(recs) if recs else np.zeros((0, 30))
+
+        # Global poses at OXTS timestamps, drive-local origin.
+        scale = np.cos(np.deg2rad(self.oxts[0, self._LAT])) if len(recs) else 1.0
+        Ts = []
+        for r in self.oxts:
+            Ts.append(nsp.oxts_to_pose(
+                r[self._LAT], r[self._LON], r[self._ALT],
+                r[self._ROLL], r[self._PITCH], r[self._YAW], scale))
+        Ts = np.stack(Ts) if Ts else np.zeros((0, 4, 4))
+        if len(Ts):
+            T0_inv = nsp.se3_inv(Ts[0])
+            Ts = np.einsum("ij,njk->nik", T0_inv, Ts)
+        self._poses_oxts = Ts
+
+        # Epoch offset so frame/oxts times share one clock.
+        t0 = min(self.velo_times[0], self.oxts_times[0]) if n else 0.0
+        self.velo_times = self.velo_times - t0
+        self.oxts_times = self.oxts_times - t0
+
+    @staticmethod
+    def _read_timestamps(path: str) -> np.ndarray:
+        """'2011-10-03 12:55:34.349659964' lines -> float64 epoch seconds."""
+        import datetime as dt
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                date_part, time_part = line.split(" ")
+                frac = 0.0
+                if "." in time_part:
+                    time_part, frac_s = time_part.split(".")
+                    frac = float("0." + frac_s)
+                t = dt.datetime.strptime(date_part + " " + time_part,
+                                         "%Y-%m-%d %H:%M:%S")
+                out.append(t.timestamp() + frac)
+        return np.asarray(out, np.float64)
+
+    def __len__(self) -> int:
+        return self.end - self.start
+
+    def points(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        raw = np.fromfile(
+            os.path.join(self.velo_dir, f"{self.start + i:010d}.bin"),
+            dtype=np.float32).reshape(-1, 4)
+        n = min(raw.shape[0], self.max_points)
+        pts = np.zeros((self.max_points, 4), np.float32)
+        pts[:n] = raw[:n]
+        valid = np.zeros(self.max_points, bool)
+        valid[:n] = True
+        return pts, valid
+
+    def frame_time(self, i: int) -> float:
+        return float(self.velo_times[self.start + i])
+
+    def pose(self, i: int) -> np.ndarray:
+        """Pose at the velodyne timestamp: nearest OXTS record's pose.
+
+        (KITTI sync'd drives have 1:1 frame<->oxts alignment; fall back to
+        nearest for robustness.)
+        """
+        t = self.velo_times[self.start + i]
+        j = int(np.clip(np.searchsorted(self.oxts_times, t), 0,
+                        len(self.oxts_times) - 1))
+        if j > 0 and abs(self.oxts_times[j - 1] - t) < abs(self.oxts_times[j] - t):
+            j -= 1
+        return self._poses_oxts[j]
+
+    def imu_between(self, t0: float, t1: float) -> np.ndarray:
+        sel = (self.oxts_times > t0) & (self.oxts_times <= t1)
+        r = self.oxts[sel]
+        if r.size == 0:
+            return np.zeros((0, 6), np.float32)
+        return np.stack(
+            [r[:, self._AX], r[:, self._AY], r[:, self._AZ],
+             r[:, self._WX], r[:, self._WY], r[:, self._WZ]], -1
+        ).astype(np.float32)
+
+
+class SyntheticDrive(Drive):
+    """Fabricated drive with self-consistent geometry (data/synthetic.py).
+
+    Exposes exactly the KittiRawDrive interface so the window dataset and
+    all downstream code are oblivious to the source.
+    """
+
+    def __init__(self, n_frames: int = 64, max_points: int = 16384,
+                 seed: int = 0, world_points: int = 30000, name: str = "synth"):
+        self.max_points = max_points
+        self.seed = seed
+        self.name = f"{name}_{seed}"
+        self._world = syn.synthetic_world(world_points, seed=seed)
+        self._Ts, self._times = syn.synthetic_trajectory(n_frames, seed=seed)
+        self._oxts = syn.synthetic_oxts(self._Ts, self._times, seed=seed)
+        # Loader-equivalent poses: recompute from the OXTS records through
+        # the same mercator path as the real loader (drive-local origin).
+        scale = np.cos(np.deg2rad(self._oxts.lat[0]))
+        Ts = np.stack([
+            nsp.oxts_to_pose(self._oxts.lat[k], self._oxts.lon[k],
+                             self._oxts.alt[k], self._oxts.roll[k],
+                             self._oxts.pitch[k], self._oxts.yaw[k], scale)
+            for k in range(len(self._oxts.times))
+        ])
+        T0_inv = nsp.se3_inv(Ts[0])
+        self._poses_oxts = np.einsum("ij,njk->nik", T0_inv, Ts)
+
+    def __len__(self) -> int:
+        return len(self._times)
+
+    @lru_cache(maxsize=8)
+    def _scan(self, i: int):
+        return syn.synthetic_scan(self._world, self._Ts[i], self.max_points,
+                                  seed=self.seed * 1000 + i)
+
+    def points(self, i: int):
+        return self._scan(i)
+
+    def frame_time(self, i: int) -> float:
+        return float(self._times[i])
+
+    def pose(self, i: int) -> np.ndarray:
+        t = self._times[i]
+        j = int(np.clip(np.round(t * syn.IMU_HZ), 0, len(self._poses_oxts) - 1))
+        return self._poses_oxts[j]
+
+    def imu_between(self, t0: float, t1: float) -> np.ndarray:
+        sel = (self._oxts.times > t0) & (self._oxts.times <= t1)
+        if not sel.any():
+            return np.zeros((0, 6), np.float32)
+        return np.concatenate(
+            [self._oxts.acc[sel], self._oxts.gyro[sel]], -1).astype(np.float32)

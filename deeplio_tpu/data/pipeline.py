@@ -1,0 +1,59 @@
+"""Host->device input pipeline: threaded prefetch with double buffering.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=N)``
+process pool (SURVEY.md §3.1 process boundary). The heavy transform
+(projection) moved on-device, so the host side only reads scans, slices
+IMU windows and computes GT — cheap enough for a thread. Batches are
+device_put with the mesh's batch sharding while the TPU computes the
+previous step, hiding transfer latency (BASELINE.json: "double-buffers
+projected frames into HBM" — we double-buffer raw scans and project
+on-device, which is strictly less host->device traffic for <=5 channels).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from deeplio_tpu.parallel.mesh import Mesh, batch_sharding
+
+
+class DevicePrefetcher:
+    """Wrap a host batch iterator; yields device-resident sharded batches."""
+
+    def __init__(self, it: Iterator[Dict[str, np.ndarray]], mesh: Mesh,
+                 depth: int = 2):
+        self._it = it
+        self._sharding = batch_sharding(mesh)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for batch in self._it:
+                batch.pop("meta", None)
+                dev = {
+                    k: jax.device_put(v, self._sharding) for k, v in batch.items()
+                }
+                self._q.put(dev)
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

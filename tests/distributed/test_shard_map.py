@@ -1,0 +1,105 @@
+"""Distributed-semantics tests on the fake 8-device CPU mesh (SURVEY.md §4
+item 3): gradient psum equivalence, mesh shapes, sharded batch placement,
+determinism across data-parallel widths."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplio_tpu.config import load_config
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model
+from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+from deeplio_tpu.train.state import TrainState
+
+pytestmark = pytest.mark.distributed
+
+
+def _setup(n_data: int, seed: int = 0, dropout: float | None = None):
+    cfg = load_config("configs/deepio_synth.yaml")
+    if dropout is not None:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, dropout=dropout))
+    mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
+    tx = make_optimizer(cfg.optim, 100)
+    model, variables = init_model(cfg, jax.random.PRNGKey(seed), axis_name="data")
+    state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                               jax.random.PRNGKey(seed + 1))
+    state = replicate(mesh, state)
+    train_step, eval_step = build_train_step(cfg, model, tx, mesh)
+    return cfg, mesh, state, train_step, eval_step
+
+
+def _batch(cfg, B, seed=0):
+    rng = np.random.default_rng(seed)
+    P = cfg.datasets.num_pairs
+    T = cfg.datasets.max_imu_per_pair
+    return {
+        "imu": rng.normal(size=(B, P, T, 6)).astype(np.float32),
+        "imu_mask": np.ones((B, P, T), np.float32),
+        "x_gt": rng.normal(size=(B, P, 3)).astype(np.float32) * 0.5,
+        "q_gt": np.tile([1.0, 0, 0, 0], (B, P, 1)).astype(np.float32),
+        "valid": np.ones((B, P), np.float32),
+    }
+
+
+def test_mesh_shapes(devices8):
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_batch_is_sharded(devices8):
+    mesh = make_mesh(data=8)
+    cfg, *_ = _setup(8)[:1],
+    cfg = load_config("configs/deepio_synth.yaml")
+    b = shard_batch(mesh, _batch(cfg, 16))
+    shards = b["imu"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 2  # 16 / 8
+
+
+def test_dp8_matches_dp1(devices8):
+    """One train step on 8-way DP == same step on 1 device (same global
+    batch, same init): the psum'd-gradient update must be identical."""
+    B = 16
+    # Dropout off: different shard counts fold different axis indices into
+    # the dropout rng, which would (correctly) perturb the comparison.
+    cfg1, mesh1, state1, step1, _ = _setup(1, seed=3, dropout=0.0)
+    cfg8, mesh8, state8, step8, _ = _setup(8, seed=3, dropout=0.0)
+    batch = _batch(cfg1, B, seed=11)
+
+    s1, m1 = step1(state1, shard_batch(mesh1, batch))
+    s8, m8 = step8(state8, shard_batch(mesh8, batch))
+    # Loss is computed from identical params on the same global batch.
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["loss_x"]), float(m8["loss_x"]), rtol=1e-5)
+    # LWS scalar params see the full-batch gradient -> identical updates.
+    np.testing.assert_allclose(
+        float(s1.loss_params["sx"]), float(s8.loss_params["sx"]), atol=1e-7)
+    np.testing.assert_allclose(
+        float(s1.loss_params["sq"]), float(s8.loss_params["sq"]), atol=1e-7)
+
+
+def test_grad_norm_finite_and_params_in_sync(devices8):
+    cfg, mesh, state, train_step, _ = _setup(8)
+    batch = shard_batch(mesh, _batch(cfg, 16))
+    state, m = train_step(state, batch)
+    assert np.isfinite(float(m["grad_norm"]))
+    # Params are replicated: every shard of a leaf must be identical.
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_eval_step_gathers_predictions(devices8):
+    cfg, mesh, state, _, eval_step = _setup(8)
+    batch = shard_batch(mesh, _batch(cfg, 16))
+    x, q, m = eval_step(state, batch)
+    assert x.shape == (16, cfg.datasets.num_pairs, 3)
+    assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,79 @@
+"""End-to-end training smoke tests (SURVEY.md §4 item 4): one-epoch train
+on the synthetic fixture, loss decreases, checkpoint resume equality —
+on the 8-device CPU mesh through the real shard_map train step."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from deeplio_tpu.config import load_config
+from deeplio_tpu.train import Trainer
+
+pytestmark = pytest.mark.integration
+
+
+def _small(cfg, **train_over):
+    import dataclasses
+    tr = dataclasses.replace(cfg.train, **train_over)
+    return cfg.replace(train=tr)
+
+
+def test_deepio_loss_decreases(tmp_path):
+    cfg = load_config("configs/deepio_synth.yaml")
+    cfg = _small(cfg, epochs=3, batch_size=8, log_every=1,
+                 checkpoint_every_steps=0)
+    t = Trainer(cfg, workdir=str(tmp_path / "run"))
+    t.fit()
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    train = [r for r in recs if r["split"] == "train"]
+    assert len(train) > 10
+    first = np.mean([r["loss"] for r in train[:3]])
+    last = np.mean([r["loss"] for r in train[-3:]])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+    t.close()
+
+
+def test_checkpoint_resume_bit_equal(tmp_path):
+    cfg = load_config("configs/deepio_synth.yaml")
+    cfg = _small(cfg, epochs=1, batch_size=8, checkpoint_every_steps=5,
+                 log_every=100)
+    wd = str(tmp_path / "run")
+    t = Trainer(cfg, workdir=wd)
+    t.fit(epochs=1)
+    final_step = t.step
+    params_end = jax.device_get(t.state.params)
+    t.close()
+
+    t2 = Trainer(cfg, workdir=wd, resume=True)
+    assert t2.step > 0
+    # Restored params from the last saved checkpoint must match the saved
+    # state exactly (restore at final forced save == end of training).
+    assert t2.step == final_step
+    restored = jax.device_get(t2.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), params_end, restored)
+    t2.close()
+
+
+def test_deeplo_one_step(tmp_path):
+    """Lidar path: projection+conv tower through the shard_map step."""
+    cfg = load_config("configs/deeplo_synth.yaml")
+    import dataclasses
+    # Shrink for CPU: tiny image + few points.
+    proj = dataclasses.replace(cfg.datasets.projection, height=16, width=128,
+                               max_points=2048)
+    ds = dataclasses.replace(cfg.datasets, projection=proj, synthetic_frames=12)
+    cfg = cfg.replace(datasets=ds)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    cfg = _small(cfg, epochs=1, batch_size=8, log_every=1,
+                 checkpoint_every_steps=0)
+    t = Trainer(cfg, workdir=str(tmp_path / "run"))
+    t.fit(epochs=1)
+    assert t.step >= 1
+    # Validate eval path too.
+    val = t.validate()
+    assert np.isfinite(val["loss"])
+    t.close()

@@ -1,0 +1,99 @@
+"""Window dataset tests on the synthetic fixture: window indexing, IMU
+pad+mask, GT consistency with the fabricated trajectory (SURVEY.md §3.4)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from deeplio_tpu.config import load_config
+from deeplio_tpu.data.dataset import WindowDataset, build_dataset
+from deeplio_tpu.data.drives import SyntheticDrive
+from deeplio_tpu.data import np_spatial as nsp
+
+CFG = "configs/deepio_synth.yaml"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return load_config(CFG)
+
+
+@pytest.fixture(scope="module")
+def ds(cfg):
+    return build_dataset(cfg, "train")
+
+
+def test_window_count(cfg, ds):
+    # 2 synthetic drives x (frames - S + 1) windows
+    per = cfg.datasets.synthetic_frames - cfg.datasets.sequence_size + 1
+    assert len(ds) == 2 * per
+
+
+def test_item_shapes(cfg, ds):
+    it = ds.get(0)
+    P = cfg.datasets.num_pairs
+    T = cfg.datasets.max_imu_per_pair
+    assert it["imu"].shape == (P, T, 6)
+    assert it["imu_mask"].shape == (P, T)
+    assert it["x_gt"].shape == (P, 3)
+    assert it["q_gt"].shape == (P, 4)
+    assert "points" not in it  # deepio: points skipped
+    # ~10 IMU samples between 10 Hz frames at 100 Hz
+    n_imu = int(it["imu_mask"][0].sum())
+    assert 5 <= n_imu <= 16
+
+
+def test_points_included_for_lidar_arch():
+    cfg = load_config("configs/deeplo_synth.yaml")
+    ds = build_dataset(cfg, "train")
+    it = ds.get(0)
+    assert it["points"].shape == (2, cfg.datasets.projection.max_points, 4)
+    assert it["points_valid"].any()
+
+
+def test_gt_matches_true_trajectory(cfg, ds):
+    """Loader GT (via fabricated OXTS -> mercator -> relative pose) must
+    match the underlying true trajectory's relative motion to ~cm."""
+    d = ds.drives[0]
+    true_T = d._Ts  # fixture ground truth (world_from_body, f64)
+    it = ds.get(3)  # window starting at frame 3
+    dx_true, dq_true = nsp.relative_pose(true_T[3], true_T[4])
+    np.testing.assert_allclose(it["x_gt"][0], dx_true, atol=0.02)
+    assert abs(np.dot(it["q_gt"][0], dq_true)) > 0.99999
+
+
+def test_gt_magnitudes_physical(ds):
+    # ~8 m/s at 10 Hz -> ~0.8 m forward per pair.
+    xs = np.stack([ds.get(i)["x_gt"][0] for i in range(0, 40, 5)])
+    norms = np.linalg.norm(xs, axis=-1)
+    assert (norms > 0.3).all() and (norms < 2.0).all()
+    # Forward (x) dominates in body frame.
+    assert (np.abs(xs[:, 0]) > np.abs(xs[:, 1])).mean() > 0.7
+
+
+def test_batching_shapes(cfg, ds):
+    b = next(ds.iter_batches(4, shuffle=True, seed=0))
+    assert b["imu"].shape[0] == 4
+    assert b["x_gt"].shape == (4, cfg.datasets.num_pairs, 3)
+    assert b["meta"].shape == (4, 2)
+
+
+def test_batch_shuffle_determinism(ds):
+    b1 = next(ds.iter_batches(4, shuffle=True, seed=7))
+    b2 = next(ds.iter_batches(4, shuffle=True, seed=7))
+    np.testing.assert_array_equal(b1["meta"], b2["meta"])
+    b3 = next(ds.iter_batches(4, shuffle=True, seed=8))
+    assert not np.array_equal(b1["meta"], b3["meta"])
+
+
+def test_drop_last(ds):
+    n = len(ds)
+    bs = 7
+    batches = list(ds.iter_batches(bs, shuffle=False))
+    assert len(batches) == n // bs
+
+
+def test_imu_window_padding_is_masked(ds):
+    it = ds.get(0)
+    pad = it["imu"] * (1 - it["imu_mask"][..., None])
+    assert np.abs(pad).sum() == 0.0
