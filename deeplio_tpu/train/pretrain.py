@@ -1,0 +1,124 @@
+"""PointSeg segmentation pretraining (reference: the separate PointSeg
+training path whose weights ``LidarPointSegFeat`` loads — SURVEY.md §2.5
+"PointSeg pretraining" row).
+
+Trains the standalone ``PointSegNet`` (encoder+decoder+classifier) on
+per-pixel labels with masked cross-entropy, then snapshots ONLY the encoder
+subtree in the exact layout ``load_pointseg_backbone`` grafts into a
+DeepLO/DeepLIO model.
+
+Labels: with real KITTI + SemanticKITTI-style labels on disk a drive can
+supply them; for the hermetic path we derive geometric pseudo-labels from
+the projected image itself (ground / structure / empty by height), which
+exercises the full pipeline end-to-end without external data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deeplio_tpu.config.schema import Config
+from deeplio_tpu.models.pointseg import PointSegNet
+from deeplio_tpu.ops.projection import make_projector
+from deeplio_tpu.train.checkpoint import save_params
+from deeplio_tpu.utils import get_app_logger
+
+NUM_CLASSES = 3  # 0=empty, 1=ground, 2=structure
+GROUND_Z = -1.2
+
+
+def geometric_labels(img: jax.Array, mask: jax.Array) -> jax.Array:
+    """Pseudo-labels from the projected vertex map: [B,H,W] int32."""
+    z = img[..., 2]
+    ground = (z < GROUND_Z).astype(jnp.int32)
+    lab = jnp.where(mask > 0.5, 2 - ground, 0)
+    return lab
+
+
+def masked_xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-pixel cross-entropy; 'empty' pixels (label 0) weighted down."""
+    onehot = jax.nn.one_hot(labels, NUM_CLASSES)
+    ce = optax.softmax_cross_entropy(logits, onehot)
+    w = jnp.where(labels == 0, 0.05, 1.0)
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
+                      batch_size: int = 4, lr: float = 1e-3,
+                      seed: int = 0) -> Dict[str, float]:
+    """Train PointSegNet on (synthetic-)projected images; save encoder."""
+    from deeplio_tpu.data.dataset import build_drives
+
+    log = get_app_logger()
+    ds = cfg.datasets
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    # The odometry encoder consumes PAIR-stacked images (2C channels); the
+    # segmentation pretrainer must feed the same width so conv kernels
+    # transfer. We duplicate the single frame (a standing-still pair).
+    net = PointSegNet(part="encoder+decoder", num_classes=NUM_CLASSES,
+                      dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+                      else jnp.float32)
+
+    drives = build_drives(cfg, "train")
+    rng = np.random.default_rng(seed)
+
+    def sample_batch() -> Tuple[np.ndarray, np.ndarray]:
+        pts, vld = [], []
+        for _ in range(batch_size):
+            d = drives[rng.integers(len(drives))]
+            p, v = d.points(int(rng.integers(len(d))))
+            pts.append(p)
+            vld.append(v)
+        return np.stack(pts), np.stack(vld)
+
+    @jax.jit
+    def project(pts, vld):
+        img, mask = projector(pts, vld)
+        x = jnp.concatenate([img, img], axis=-1)  # pair-width input
+        return x, geometric_labels(img, mask)
+
+    p0, v0 = sample_batch()
+    x0, _ = project(jnp.asarray(p0), jnp.asarray(v0))
+    variables = net.init(jax.random.PRNGKey(seed), x0, train=False)
+    tx = optax.adam(lr)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, pts, vld):
+        x, labels = project(pts, vld)
+
+        def loss_fn(p):
+            logits, mut = net.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            return masked_xent(logits, labels), (mut["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return params, new_stats, opt_state, loss, acc
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    loss = acc = None
+    for k in range(steps):
+        pts, vld = sample_batch()
+        params, batch_stats, opt_state, loss, acc = step(
+            params, batch_stats, opt_state, jnp.asarray(pts), jnp.asarray(vld))
+        if k % 20 == 0:
+            log.info("pointseg pretrain step %d loss %.4f acc %.3f",
+                     k, float(jax.device_get(loss)), float(jax.device_get(acc)))
+
+    # Snapshot ONLY the encoder subtree, in LidarPointSegFeat's layout:
+    # lidar_feat/pointseg/encoder/... (see load_pointseg_backbone).
+    os.makedirs(out_dir, exist_ok=True)
+    save_params(out_dir, {"encoder": jax.device_get(params["encoder"])})
+    return {"loss": float(jax.device_get(loss)), "acc": float(jax.device_get(acc))}
