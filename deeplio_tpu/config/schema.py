@@ -97,6 +97,10 @@ class DatasetConfig:
     # temporal window
     sequence_size: int = 2
     combinations: Tuple[Tuple[int, int], ...] = ()  # default: consecutive
+    # window start stride through each drive. 1 = every window (reference
+    # behavior, frames re-projected in overlapping windows); sequence_size-1
+    # covers every consecutive pair exactly once with minimal re-projection.
+    window_stride: int = 1
     # projection + channels
     channels: Tuple[str, ...] = ("x", "y", "z", "remission", "depth")
     projection: ProjectionConfig = field(default_factory=ProjectionConfig)
@@ -129,6 +133,23 @@ class DatasetConfig:
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "DatasetConfig":
         kitti = _get(d, "kitti", {}) or {}
+
+        def _split(block) -> Dict[str, List]:
+            """A split is either {date: [drive,...]} or
+            {sequences: ["00", ...]} using the raw<->odometry mapping."""
+            block = block or {}
+            seqs = _get(block, "sequences", None)
+            if seqs is None:
+                return {str(k): list(v) for k, v in block.items()}
+            out: Dict[str, List] = {}
+            for s_ in seqs:
+                s_ = f"{int(s_):02d}" if str(s_).isdigit() else str(s_)
+                if s_ not in ODOMETRY_SEQUENCES:
+                    raise ConfigError(f"unknown KITTI odometry sequence '{s_}'")
+                date, drive, start, end = ODOMETRY_SEQUENCES[s_]
+                out.setdefault(date, []).append(
+                    {"drive": drive, "start": start, "end": end})
+            return out
         proj = ProjectionConfig(
             height=int(_get(d, "image-height", 64)),
             width=int(_get(d, "image-width", 1024)),
@@ -143,11 +164,12 @@ class DatasetConfig:
                 raise ConfigError(f"unknown projection channel '{c}'")
         return DatasetConfig(
             root_path=str(_get(kitti, "root-path", _get(d, "root-path", ""))),
-            train={str(k): list(v) for k, v in (_get(kitti, "train", {}) or {}).items()},
-            validation={str(k): list(v) for k, v in (_get(kitti, "validation", {}) or {}).items()},
-            test={str(k): list(v) for k, v in (_get(kitti, "test", {}) or {}).items()},
+            train=_split(_get(kitti, "train", {})),
+            validation=_split(_get(kitti, "validation", {})),
+            test=_split(_get(kitti, "test", {})),
             sequence_size=int(_get(d, "sequence-size", 2)),
             combinations=combos,
+            window_stride=int(_get(d, "window-stride", 1)),
             channels=channels,
             projection=proj,
             mean=tuple(float(x) for x in (_get(d, "mean", []) or [])),
@@ -175,6 +197,11 @@ class LidarFeatConfig:
     pretrained: bool = False
     model_path: str = ""
     feature_size: int = 512      # flattened output feature dim (simple nets)
+    # TPU-oriented knobs: h_stride=2 downsamples laser rows in the stem
+    # (halves activation traffic through the whole tower); se toggles the
+    # SELayer attention blocks.
+    h_stride: int = 1
+    se: bool = True
 
     @staticmethod
     def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
@@ -187,6 +214,8 @@ class LidarFeatConfig:
             pretrained=bool(_get(d, "pretrained", False)),
             model_path=str(_get(d, "model-path", "")),
             feature_size=int(_get(d, "feature-size", 512)),
+            h_stride=int(_get(d, "h-stride", 1)),
+            se=bool(_get(d, "se", True)),
         )
 
 

@@ -31,10 +31,11 @@ class WindowDataset:
         self.drives = list(drives)
         self.with_points = with_points
         S = ds_cfg.sequence_size
+        stride = max(ds_cfg.window_stride, 1)
         self.index: List[Tuple[int, int]] = []
         for di, d in enumerate(self.drives):
             n_windows = max(len(d) - S + 1, 0)
-            self.index.extend((di, s) for s in range(n_windows))
+            self.index.extend((di, s) for s in range(0, n_windows, stride))
 
     def __len__(self) -> int:
         return len(self.index)
@@ -107,8 +108,16 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
     drives: List[Drive] = []
     for date, ids in split_map[split].items():
         for drive in ids:
-            drives.append(KittiRawDrive(ds.root_path, date, int(drive),
-                                        max_points=ds.projection.max_points))
+            if isinstance(drive, dict):
+                # odometry-sequence entry: {drive, start, end}
+                drives.append(KittiRawDrive(
+                    ds.root_path, date, int(drive["drive"]),
+                    max_points=ds.projection.max_points,
+                    start=int(drive.get("start", 0)),
+                    end=int(drive.get("end", -1))))
+            else:
+                drives.append(KittiRawDrive(ds.root_path, date, int(drive),
+                                            max_points=ds.projection.max_points))
     return drives
 
 

@@ -42,11 +42,14 @@ class LidarPointSegFeat(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    h_stride: int = 1
+    se: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         net = PointSegNet(part=self.part, dtype=self.dtype,
-                          axis_name=self.axis_name, name="pointseg")
+                          axis_name=self.axis_name, with_se=self.se,
+                          h_stride=self.h_stride, name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.
         feat = ConvBN(256, (3, 3), (2, 2), dtype=self.dtype,

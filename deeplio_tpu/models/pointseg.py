@@ -30,13 +30,14 @@ class PointSegEncoder(nn.Module):
     axis_name: Optional[str] = None
     use_bn: bool = True
     with_se: bool = True
+    h_stride: int = 1  # 2 = halve laser rows in the stem (TPU fast path)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ax = self.axis_name
-        # Stem: H preserved, W/2.
-        c1 = ConvBN(64, (3, 3), (1, 2), use_bn=self.use_bn, dtype=self.dtype,
-                    axis_name=ax)(x, train)          # [H, W/2, 64]
+        # Stem: H/h_stride, W/2.
+        c1 = ConvBN(64, (3, 3), (self.h_stride, 2), use_bn=self.use_bn,
+                    dtype=self.dtype, axis_name=ax)(x, train)
         p1 = nn.max_pool(c1, (3, 3), strides=(1, 2), padding="SAME")  # W/4
 
         f2 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(p1, train)
@@ -94,10 +95,13 @@ class PointSegNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     use_bn: bool = True
+    with_se: bool = True
+    h_stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
+                                      self.with_se, self.h_stride,
                                       name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat

@@ -24,9 +24,17 @@ import numpy as np
 
 def sync(tree) -> float:
     """Force completion of everything `tree` depends on; returns a scalar
-    fetched from the first leaf (cheap: one element)."""
+    fetched from the first leaf.
+
+    Only ONE element crosses the device->host link (a whole-array
+    device_get of a large output can cost more than the computation being
+    timed on a relayed backend). For accurate timing, prefer measured
+    functions that reduce their outputs to scalars in-graph.
+    """
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+    if hasattr(leaf, "ravel") and getattr(leaf, "size", 1) > 1:
+        leaf = leaf.ravel()[0]
+    return float(np.asarray(jax.device_get(leaf)))
 
 
 def time_fn(fn: Callable, inputs: Sequence, iters: int = 10,
