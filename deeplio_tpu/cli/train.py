@@ -28,6 +28,11 @@ def parse_args(argv=None):
                    help="-1 = all devices (default from config)")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5 sanitizer row)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N steps "
+                        "into <workdir>/profile")
     return p.parse_args(argv)
 
 
@@ -45,11 +50,24 @@ def main(argv=None):
     if args.lr is not None:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
 
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     log = get_app_logger()
     log.info("arch=%s workdir=%s", cfg.model.arch, args.workdir)
     trainer = Trainer(cfg, workdir=args.workdir, resume=args.resume)
     try:
-        trainer.fit()
+        if args.profile_steps > 0:
+            import os
+            with jax.profiler.trace(os.path.join(args.workdir, "profile")):
+                # One short epoch slice under the profiler, then continue.
+                trainer.fit(epochs=1)
+            log.info("profile trace written to %s/profile", args.workdir)
+            trainer.fit(epochs=max(cfg.train.epochs - 1, 0))
+        else:
+            trainer.fit()
     finally:
         trainer.close()
 

@@ -75,6 +75,9 @@ class ProjectionConfig:
     fov_up_deg: float = 3.0
     fov_down_deg: float = -25.0
     max_points: int = 131072  # static per-scan point capacity (pad/truncate)
+    # packed=True carries channels as f16 pairs through the projection sorts
+    # (~1.65x faster; <=3cm xyz rounding + 1cm range quantization).
+    packed: bool = False
 
     @property
     def fov_rad(self) -> float:
@@ -156,6 +159,7 @@ class DatasetConfig:
             fov_up_deg=float(_get(d, "fov-up", 3.0)),
             fov_down_deg=float(_get(d, "fov-down", -25.0)),
             max_points=int(_get(d, "max-points", 131072)),
+            packed=bool(_get(d, "packed", False)),
         )
         combos = tuple(tuple(c) for c in (_get(d, "combinations", None) or ()))
         channels = tuple(_get(d, "channels", ["x", "y", "z", "remission", "depth"]))

@@ -33,18 +33,39 @@ from deeplio_tpu.utils import AverageMeter, get_app_logger
 
 
 class MetricsWriter:
-    def __init__(self, path: str):
+    """JSONL metrics (source of truth) + optional TensorBoard mirror.
+
+    TensorBoard uses the same scalar names as the reference's
+    SummaryWriter stream (loss, loss_x, loss_q, ... under train/ and val/)
+    for diffability — SURVEY.md §5 observability row. The TB sink is
+    import-gated (torch's SummaryWriter when available)."""
+
+    def __init__(self, path: str, tensorboard: bool = True):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._f = open(path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(os.path.dirname(os.path.abspath(path)),
+                                         "tb"))
+            except Exception:
+                self._tb = None
 
     def write(self, step: int, split: str, metrics: Dict[str, float]):
         rec = {"step": step, "split": split, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{split}/{k}", float(v), step)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Trainer:

@@ -164,3 +164,30 @@ class TestChannelsAndNormalize:
         cfg = ProjectionConfig(height=H, width=W)
         with pytest.raises(ValueError):
             proj.make_projector(cfg, ["depth"], mean=[1, 2], std=[1, 2])
+
+
+class TestPackedMode:
+    def test_packed_close_to_exact(self):
+        rng = np.random.default_rng(11)
+        pts, valid = _random_cloud(rng, 8192)
+        exact, m1 = proj.project_batch(jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+                                       H, W, FU, FD, packed=False)
+        packd, m2 = proj.project_batch(jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+                                       H, W, FU, FD, packed=True)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        e, p = np.asarray(exact)[0], np.asarray(packd)[0]
+        # f16 rounding on xyz: rel ~2^-11 of magnitude (<=70m -> <4cm)
+        np.testing.assert_allclose(p[..., :3], e[..., :3], atol=0.05)
+        np.testing.assert_allclose(p[..., 3], e[..., 3], atol=2e-3)  # remission
+        # range reconstructed from the 1cm-quantized key
+        np.testing.assert_allclose(p[..., 4], e[..., 4], atol=0.011)
+
+    def test_packed_winners_identical(self):
+        # Same sort keys -> identical winner selection (mask + quantized r).
+        rng = np.random.default_rng(12)
+        pts, valid = _random_cloud(rng, 4096, n_valid=3000)
+        _, m1 = proj.project_batch(jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+                                   H, W, FU, FD, packed=False)
+        _, m2 = proj.project_batch(jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+                                   H, W, FU, FD, packed=True)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
