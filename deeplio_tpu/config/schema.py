@@ -78,6 +78,9 @@ class ProjectionConfig:
     # packed=True carries channels as f16 pairs through the projection sorts
     # (~1.65x faster; <=3cm xyz rounding + 1cm range quantization).
     packed: bool = False
+    # backend: "sort" (XLA two-sort compaction, production) | "pallas"
+    # (fused RMW kernel — see ops/projection_pallas.py for the tradeoffs).
+    backend: str = "sort"
 
     @property
     def fov_rad(self) -> float:
@@ -160,6 +163,7 @@ class DatasetConfig:
             fov_down_deg=float(_get(d, "fov-down", -25.0)),
             max_points=int(_get(d, "max-points", 131072)),
             packed=bool(_get(d, "packed", False)),
+            backend=str(_get(d, "backend", "sort")),
         )
         combos = tuple(tuple(c) for c in (_get(d, "combinations", None) or ()))
         channels = tuple(_get(d, "channels", ["x", "y", "z", "remission", "depth"]))
@@ -205,6 +209,7 @@ class LidarFeatConfig:
     # (halves activation traffic through the whole tower); se toggles the
     # SELayer attention blocks.
     h_stride: int = 1
+    w_stride: int = 2   # stem azimuth stride (2 = SqueezeSeg default)
     se: bool = True
 
     @staticmethod
@@ -219,6 +224,7 @@ class LidarFeatConfig:
             model_path=str(_get(d, "model-path", "")),
             feature_size=int(_get(d, "feature-size", 512)),
             h_stride=int(_get(d, "h-stride", 1)),
+            w_stride=int(_get(d, "w-stride", 2)),
             se=bool(_get(d, "se", True)),
         )
 

@@ -43,13 +43,15 @@ class LidarPointSegFeat(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     h_stride: int = 1
+    w_stride: int = 2
     se: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         net = PointSegNet(part=self.part, dtype=self.dtype,
                           axis_name=self.axis_name, with_se=self.se,
-                          h_stride=self.h_stride, name="pointseg")
+                          h_stride=self.h_stride, w_stride=self.w_stride,
+                          name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.
         feat = ConvBN(256, (3, 3), (2, 2), dtype=self.dtype,

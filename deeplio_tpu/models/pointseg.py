@@ -31,13 +31,14 @@ class PointSegEncoder(nn.Module):
     use_bn: bool = True
     with_se: bool = True
     h_stride: int = 1  # 2 = halve laser rows in the stem (TPU fast path)
+    w_stride: int = 2  # stem azimuth stride (4 = extra-fast TPU path)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ax = self.axis_name
-        # Stem: H/h_stride, W/2.
-        c1 = ConvBN(64, (3, 3), (self.h_stride, 2), use_bn=self.use_bn,
-                    dtype=self.dtype, axis_name=ax)(x, train)
+        # Stem: H/h_stride, W/w_stride.
+        c1 = ConvBN(64, (3, 3), (self.h_stride, self.w_stride),
+                    use_bn=self.use_bn, dtype=self.dtype, axis_name=ax)(x, train)
         p1 = nn.max_pool(c1, (3, 3), strides=(1, 2), padding="SAME")  # W/4
 
         f2 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(p1, train)
@@ -97,12 +98,13 @@ class PointSegNet(nn.Module):
     use_bn: bool = True
     with_se: bool = True
     h_stride: int = 1
+    w_stride: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
                                       self.with_se, self.h_stride,
-                                      name="encoder")(x, train)
+                                      self.w_stride, name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat
         dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)

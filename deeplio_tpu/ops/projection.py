@@ -268,6 +268,7 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     H, W = cfg_proj.height, cfg_proj.width
     fu, fd = cfg_proj.fov_up_deg, cfg_proj.fov_down_deg
     packed = cfg_proj.packed
+    backend = getattr(cfg_proj, "backend", "sort")
 
     if mean and len(mean) != _num_ch(channels):
         raise ValueError(
@@ -280,7 +281,11 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
         n = points.shape[-2]
         pts = points.reshape((-1, n, 4))
         vld = valid.reshape((-1, n))
-        img5, mask = project_batch(pts, vld, H, W, fu, fd, packed=packed)
+        if backend == "pallas":
+            from deeplio_tpu.ops.projection_pallas import project_batch_pallas
+            img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
+        else:
+            img5, mask = project_batch(pts, vld, H, W, fu, fd, packed=packed)
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
         c = img.shape[-1]
