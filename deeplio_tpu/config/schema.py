@@ -115,6 +115,8 @@ class DatasetConfig:
     std: Tuple[float, ...] = ()
     # IMU windows between frame pairs: pad/mask to this static length
     max_imu_per_pair: int = 16
+    # device-side training augmentation: random global yaw per window
+    augment_yaw: bool = False
     # synthetic fixture mode for CI / benches without KITTI on disk
     synthetic: bool = False
     synthetic_frames: int = 64
@@ -183,6 +185,7 @@ class DatasetConfig:
             mean=tuple(float(x) for x in (_get(d, "mean", []) or [])),
             std=tuple(float(x) for x in (_get(d, "std", []) or [])),
             max_imu_per_pair=int(_get(d, "max-imu-per-pair", 16)),
+            augment_yaw=bool(_get(d, "augment-yaw", False)),
             synthetic=bool(_get(d, "synthetic", False)),
             synthetic_frames=int(_get(d, "synthetic-frames", 64)),
         )

@@ -31,6 +31,7 @@ from jax.sharding import PartitionSpec as P
 
 from deeplio_tpu.config.schema import Config
 from deeplio_tpu.losses import pose_loss
+from deeplio_tpu.ops.augment import yaw_augment
 from deeplio_tpu.ops.projection import make_projector
 from deeplio_tpu.parallel.mesh import DATA_AXIS, Mesh
 from deeplio_tpu.train.state import TrainState
@@ -87,8 +88,11 @@ def build_train_step(
 
     def _train_step(state: TrainState, raw: Batch):
         rng, sub = jax.random.split(state.rng)
-        # Different dropout per data shard.
+        # Different dropout/augmentation per data shard.
         sub = jax.random.fold_in(sub, jax.lax.axis_index(DATA_AXIS))
+        if ds.augment_yaw:
+            aug_rng, sub = jax.random.split(sub)
+            raw = yaw_augment(raw, aug_rng)
         grads, (metrics, new_stats) = jax.grad(_loss_fn, has_aux=True)(
             state.trainables, state.batch_stats, raw, sub)
         grads = jax.lax.pmean(grads, DATA_AXIS)

@@ -1,0 +1,75 @@
+"""Yaw augmentation: GT must transform exactly as the re-mounted sensor's
+relative pose (conjugation identity), IMU vectors rotate, projection of
+rotated points is a circular shift of the range image."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplio_tpu.data import np_spatial as nsp
+from deeplio_tpu.ops.augment import yaw_augment
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0, 0], [s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+
+
+def test_gt_conjugation_identity(rng):
+    # Random global poses Ti, Tj; augmented GT == relative of re-mounted poses.
+    q = rng.normal(size=4); q /= np.linalg.norm(q)
+    Ti = nsp.se3(np.eye(3), rng.normal(size=3) * 5)
+    Ti[:3, :3] = nsp.euler_to_rotmat(0.05, -0.02, 1.2)
+    Tj = Ti @ nsp.se3(nsp.euler_to_rotmat(0.01, 0.0, 0.1), [0.8, 0.05, 0.01])
+    dx, dq = nsp.relative_pose(Ti, Tj)
+
+    raw = {
+        "x_gt": jnp.asarray(dx, jnp.float32)[None, None],
+        "q_gt": jnp.asarray(dq, jnp.float32)[None, None],
+    }
+    key = jax.random.PRNGKey(3)
+    out = yaw_augment(raw, key)
+    phi = float(jax.random.uniform(key, (1,), minval=-np.pi, maxval=np.pi)[0])
+
+    Rz = _rotz(phi)
+    Ti2 = Ti @ np.linalg.inv(Rz)
+    Tj2 = Tj @ np.linalg.inv(Rz)
+    dx2, dq2 = nsp.relative_pose(Ti2, Tj2)
+    np.testing.assert_allclose(np.asarray(out["x_gt"])[0, 0], dx2, atol=1e-5)
+    assert abs(np.dot(np.asarray(out["q_gt"])[0, 0], dq2)) > 0.999999
+
+
+def test_points_and_imu_rotate_consistently(rng):
+    pts = rng.normal(size=(1, 2, 64, 4)).astype(np.float32)
+    imu = rng.normal(size=(1, 1, 5, 6)).astype(np.float32)
+    raw = {
+        "points": jnp.asarray(pts),
+        "imu": jnp.asarray(imu),
+        "x_gt": jnp.zeros((1, 1, 3)),
+        "q_gt": jnp.asarray([[[1.0, 0, 0, 0]]]),
+    }
+    key = jax.random.PRNGKey(7)
+    out = yaw_augment(raw, key)
+    phi = float(jax.random.uniform(key, (1,), minval=-np.pi, maxval=np.pi)[0])
+    R = _rotz(phi)[:3, :3]
+    np.testing.assert_allclose(
+        np.asarray(out["points"])[0, 0, :, :3], pts[0, 0, :, :3] @ R.T, atol=1e-5)
+    # remission untouched
+    np.testing.assert_array_equal(np.asarray(out["points"])[..., 3], pts[..., 3])
+    np.testing.assert_allclose(
+        np.asarray(out["imu"])[0, 0, :, :3], imu[0, 0, :, :3] @ R.T, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["imu"])[0, 0, :, 3:], imu[0, 0, :, 3:] @ R.T, atol=1e-5)
+
+
+def test_identity_when_quaternion_identity(rng):
+    # q_gt identity + dx forward: rotated dx has same norm.
+    raw = {
+        "x_gt": jnp.asarray([[[1.0, 0.0, 0.0]]]),
+        "q_gt": jnp.asarray([[[1.0, 0, 0, 0]]]),
+    }
+    out = yaw_augment(raw, jax.random.PRNGKey(0))
+    assert abs(np.linalg.norm(np.asarray(out["x_gt"])) - 1.0) < 1e-6
+    # conjugating the identity quaternion stays identity
+    np.testing.assert_allclose(np.abs(np.asarray(out["q_gt"])[0, 0, 0]), 1.0,
+                               atol=1e-6)
