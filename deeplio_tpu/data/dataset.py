@@ -76,17 +76,33 @@ class WindowDataset:
         return item
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
-                     seed: int = 0, drop_last: bool = True
-                     ) -> Iterator[Dict[str, np.ndarray]]:
+                     seed: int = 0, drop_last: bool = True,
+                     workers: int = 8) -> Iterator[Dict[str, np.ndarray]]:
+        """Batch iterator with thread-parallel item assembly.
+
+        The reference hides per-item cost in DataLoader worker PROCESSES;
+        here item work is numpy/disk-IO (GIL-releasing), so a thread pool
+        suffices and avoids fork/serialization overhead (SURVEY.md §7
+        hard-part 3: the host must keep up with the device-side step).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         n = len(order)
         end = (n // batch_size) * batch_size if drop_last else n
-        for b0 in range(0, end, batch_size):
-            sel = order[b0:b0 + batch_size]
-            items = [self.get(int(i)) for i in sel]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        if workers <= 1:
+            for b0 in range(0, end, batch_size):
+                sel = order[b0:b0 + batch_size]
+                items = [self.get(int(i)) for i in sel]
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+            return
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for b0 in range(0, end, batch_size):
+                sel = order[b0:b0 + batch_size]
+                items = list(pool.map(self.get, (int(i) for i in sel)))
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def steps_per_epoch(self, batch_size: int) -> int:
         return len(self) // batch_size

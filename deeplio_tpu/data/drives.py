@@ -197,7 +197,7 @@ class SyntheticDrive(Drive):
     def __len__(self) -> int:
         return len(self._times)
 
-    @lru_cache(maxsize=8)
+    @lru_cache(maxsize=None)
     def _scan(self, i: int):
         return syn.synthetic_scan(self._world, self._Ts[i], self.max_points,
                                   seed=self.seed * 1000 + i)

@@ -101,6 +101,12 @@ class Trainer:
             params = load_pointseg_backbone(params, cfg.model.lidar.model_path)
             self.log.info("loaded pretrained PointSeg backbone from %s",
                           cfg.model.lidar.model_path)
+        if cfg.model.pretrained and cfg.model.model_path:
+            # Whole-model warm start (reference: arch-level `model-path`).
+            from deeplio_tpu.train.checkpoint import load_params
+            params = load_params(cfg.model.model_path, params)
+            self.log.info("loaded pretrained model from %s",
+                          cfg.model.model_path)
         variables = dict(variables, params=params)
 
         state = create_train_state(

@@ -77,3 +77,29 @@ def test_deeplo_one_step(tmp_path):
     val = t.validate()
     assert np.isfinite(val["loss"])
     t.close()
+
+
+def test_whole_model_pretrained_load(tmp_path):
+    """Reference capability: arch-level model-path warm start."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from deeplio_tpu.train.checkpoint import save_params
+
+    cfg = load_config("configs/deepio_synth.yaml")
+    cfg = _small(cfg, epochs=1, batch_size=8, checkpoint_every_steps=0)
+    t = Trainer(cfg, workdir=str(tmp_path / "a"))
+    t.fit(epochs=1)
+    trained = jax.device_get(t.state.params)
+    save_params(str(tmp_path / "snap"), trained)
+    t.close()
+
+    cfg2 = cfg.replace(model=dataclasses.replace(
+        cfg.model, pretrained=True, model_path=str(tmp_path / "snap")))
+    t2 = Trainer(cfg2, workdir=str(tmp_path / "b"))
+    loaded = jax.device_get(t2.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), trained, loaded)
+    t2.close()
