@@ -6,8 +6,6 @@ composition; a numpy twin serves the host/eval path.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

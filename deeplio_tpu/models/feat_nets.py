@@ -17,7 +17,7 @@ replaces the reference's BaseNet output-shape bookkeeping (SURVEY.md §3.3).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ azimuth shrinks — the SqueezeSeg convention for range images.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from deeplio_tpu.config.schema import Config
 from deeplio_tpu.data.dataset import build_dataset
@@ -27,7 +26,7 @@ from deeplio_tpu.models import init_model
 from deeplio_tpu.parallel.mesh import make_mesh, replicate
 from deeplio_tpu.train.checkpoint import CheckpointManager, load_pointseg_backbone
 from deeplio_tpu.train.optim import make_optimizer
-from deeplio_tpu.train.state import TrainState, create_train_state
+from deeplio_tpu.train.state import create_train_state
 from deeplio_tpu.train.step import build_train_step
 from deeplio_tpu.utils import AverageMeter, get_app_logger
 

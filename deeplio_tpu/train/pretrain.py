@@ -16,7 +16,7 @@ exercises the full pipeline end-to-end without external data.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

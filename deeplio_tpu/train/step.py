@@ -21,8 +21,7 @@ projected exactly once (unlike the reference, which re-projects per item).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
