@@ -32,7 +32,7 @@ from deeplio_tpu.models import init_model
 from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
 from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
 
-BATCH = 32
+BATCH = 16
 WARMUP = 3
 ITERS = 20
 TARGET = 5000.0
