@@ -191,3 +191,26 @@ class TestPackedMode:
         _, m2 = proj.project_batch(jnp.asarray(pts)[None], jnp.asarray(valid)[None],
                                    H, W, FU, FD, packed=True)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+class TestJumpCompaction:
+    def test_matches_sort_based_compaction(self, rng):
+        """Randomized property test of the LSB-first jump router against
+        numpy fancy-indexing compaction (monotone distinct destinations)."""
+        import jax.numpy as jnp
+        from deeplio_tpu.ops.projection import _jump_compact
+        for trial in range(20):
+            m = int(rng.integers(64, 2048))
+            n_keep = int(rng.integers(1, m // 2 + 1))
+            pos_keep = np.sort(rng.choice(m, n_keep, replace=False))
+            keep = np.zeros(m, bool)
+            keep[pos_keep] = True
+            dest = np.zeros(m, np.int32)
+            dest[pos_keep] = np.arange(n_keep)
+            vals = rng.integers(0, 1 << 30, m).astype(np.int32)
+            vals2 = rng.integers(0, 1 << 30, m).astype(np.int32)
+            out = _jump_compact(jnp.asarray(keep)[None], jnp.asarray(dest)[None],
+                                [jnp.asarray(vals)[None], jnp.asarray(vals2)[None]],
+                                n_keep)
+            np.testing.assert_array_equal(np.asarray(out[0])[0], vals[pos_keep])
+            np.testing.assert_array_equal(np.asarray(out[1])[0], vals2[pos_keep])
