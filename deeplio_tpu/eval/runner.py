@@ -31,10 +31,16 @@ def predict_drive(cfg: Config, eval_step, state, mesh, drive: Drive,
 
     Returns (dx [n-1, 3], dq [n-1, 4]).
     """
+    import dataclasses
+
     bs = batch_size or cfg.train.batch_size
     n_data = mesh.shape["data"]
     bs = max((bs // n_data) * n_data, n_data)
-    ds = WindowDataset(cfg.datasets, [drive],
+    # Evaluation must cover every consecutive pair: always slide windows
+    # with stride 1 regardless of the training window-stride (a stride-8
+    # training config would otherwise skip tail pairs of each drive).
+    ds_cfg = dataclasses.replace(cfg.datasets, window_stride=1)
+    ds = WindowDataset(ds_cfg, [drive],
                        with_points=cfg.model.arch in ("deeplo", "deeplio"))
     n = len(drive)
     S = cfg.datasets.sequence_size

@@ -166,11 +166,17 @@ class Trainer:
             if self.val_ds is not None and len(self.val_ds) and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 val = self.validate()
-                self.metrics.write(self.step, "val", val)
-                self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
-                if val["loss"] < self.best_val:
-                    self.best_val = val["loss"]
-                    self.ckpt.maybe_save(self.state, metrics=val, force=True)
+                if not val:
+                    # Validation split smaller than one global batch.
+                    self.log.warning(
+                        "validation split too small for batch size %d; skipped",
+                        cfg.train.batch_size)
+                else:
+                    self.metrics.write(self.step, "val", val)
+                    self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
+                    if val["loss"] < self.best_val:
+                        self.best_val = val["loss"]
+                        self.ckpt.maybe_save(self.state, metrics=val, force=True)
         self.ckpt.maybe_save(self.state, force=True)
         self.ckpt.wait()
         return self.state

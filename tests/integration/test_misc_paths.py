@@ -83,3 +83,17 @@ def test_profile_flag_writes_trace(tmp_path):
                     "--epochs", "1"])
     prof = os.path.join(wd, "profile")
     assert os.path.isdir(prof) and len(os.listdir(prof)) > 0
+
+
+def test_eval_covers_all_pairs_with_training_stride(tmp_path):
+    """Regression: predict_drive must use stride-1 windows even when the
+    training config strides windows (tuned configs use stride S-1)."""
+    cfg_p = _tiny_yaml(tmp_path, **{"sequence-size": 3, "window-stride": 2})
+    wd = str(tmp_path / "run")
+    train_cli.main(["-c", cfg_p, "--workdir", wd])
+
+    from deeplio_tpu.cli import test as test_cli
+    test_cli.main(["-c", cfg_p, "--workdir", wd, "--split", "test"])
+    scores = json.load(open(os.path.join(wd, "eval", "scores.json")))
+    (name, s), = scores.items()
+    assert np.isfinite(s["ate_m"])
