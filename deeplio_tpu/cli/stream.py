@@ -46,7 +46,8 @@ def main(argv=None):
     out = args.out or os.path.join(args.workdir, "stream")
     os.makedirs(out, exist_ok=True)
 
-    trainer = Trainer(cfg, workdir=args.workdir, resume=True)
+    trainer = Trainer(cfg, workdir=args.workdir, resume=True,
+                      eval_only=True)
     if trainer.ckpt.latest_step() is None:
         raise SystemExit(f"no checkpoint found under {args.workdir}")
     variables = {"params": jax.device_get(trainer.state.params)}

@@ -41,7 +41,8 @@ def main(argv=None):
 
     # Reuse the Trainer to build model/state/mesh and restore the latest
     # checkpoint (it is the reference's Tester bootstrap, minus an epoch loop).
-    trainer = Trainer(cfg, workdir=args.workdir, resume=True)
+    trainer = Trainer(cfg, workdir=args.workdir, resume=True,
+                      eval_only=True)
     if trainer.ckpt.latest_step() is None:
         raise SystemExit(f"no checkpoint found under {args.workdir}")
 

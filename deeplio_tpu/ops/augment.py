@@ -24,13 +24,12 @@ from deeplio_tpu.utils.spatial import quat_multiply
 
 
 def _rotz_points(pts: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
-    """Rotate [..., N, 4] points (x,y,z,rem) by per-batch yaw cos/sin."""
+    """Rotate [B, ..., N, 4] points (x,y,z,rem) by per-batch yaw cos/sin [B]."""
     x, y = pts[..., 0], pts[..., 1]
-    c = c[..., None, None] if c.ndim == pts.ndim - 3 else c
-    # broadcast cos/sin [B] over [B, S, N]
-    while c.ndim < x.ndim:
-        c = c[..., None]
-        s = s[..., None]
+    # Expand cos/sin [B] -> [B, 1, ..., 1] to broadcast over [B, S, N].
+    shape = (c.shape[0],) + (1,) * (x.ndim - 1)
+    c = c.reshape(shape)
+    s = s.reshape(shape)
     xr = c * x - s * y
     yr = s * x + c * y
     return jnp.stack([xr, yr, pts[..., 2], pts[..., 3]], axis=-1)

@@ -35,10 +35,15 @@ class CheckpointManager:
         )
 
     def maybe_save(self, state: TrainState, metrics: Optional[dict] = None,
-                   force: bool = False) -> bool:
-        step = int(jax.device_get(state.step))
+                   force: bool = False, step: Optional[int] = None) -> bool:
+        if step is None:
+            step = int(jax.device_get(state.step))
         if not force and (self.save_every_steps <= 0
                           or step % self.save_every_steps != 0):
+            return False
+        if step in (self._mgr.all_steps() or []):
+            # A periodic/best save already wrote this step (orbax raises
+            # StepAlreadyExistsError on a duplicate).
             return False
         self._mgr.save(
             step,
@@ -66,11 +71,12 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_params(directory: str, params: Any):
-    """One-shot parameter snapshot (e.g. a pretrained PointSeg encoder)."""
+def save_params(directory: str, params: Any, overwrite: bool = False):
+    """One-shot parameter snapshot (e.g. a pretrained PointSeg encoder or
+    the running best model)."""
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(os.path.abspath(directory), "params"),
-               jax.device_get(params))
+               jax.device_get(params), force=overwrite)
     ckptr.wait_until_finished()
     ckptr.close()
 
@@ -84,16 +90,19 @@ def load_params(directory: str, params_like: Any) -> Any:
 
 
 def load_pointseg_backbone(params: Any, pretrained_dir: str) -> Any:
-    """Graft a pretrained PointSeg encoder into a lidar-feat param tree.
+    """Graft a pretrained PointSeg ENCODER into a lidar-feat param tree.
 
     Mirrors the reference's partial ``state_dict`` load for the PointSeg
-    backbone: only ``lidar_feat/pointseg`` is replaced; everything else
-    keeps its fresh initialisation.
+    backbone: only ``lidar_feat/pointseg/encoder`` is replaced; everything
+    else (including a decoder, when ``part: encoder+decoder``) keeps its
+    fresh initialisation — the pretraining snapshot holds the encoder only.
     """
     sub = params["lidar_feat"]["pointseg"]
-    loaded = load_params(pretrained_dir, sub)
+    loaded = load_params(pretrained_dir, {"encoder": sub["encoder"]})
     new = dict(params)
     lf = dict(new["lidar_feat"])
-    lf["pointseg"] = loaded
+    ps = dict(lf["pointseg"])
+    ps["encoder"] = loaded["encoder"]
+    lf["pointseg"] = ps
     new["lidar_feat"] = lf
     return new

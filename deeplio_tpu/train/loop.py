@@ -69,7 +69,10 @@ class MetricsWriter:
 
 class Trainer:
     def __init__(self, cfg: Config, workdir: str = "runs/default",
-                 mesh=None, resume: bool = False):
+                 mesh=None, resume: bool = False, eval_only: bool = False):
+        """eval_only=True skips the training-split requirement so the
+        evaluation CLIs can bootstrap model/state/mesh from a config whose
+        datasets block only lists test drives."""
         self.cfg = cfg
         self.workdir = workdir
         self.log = get_app_logger()
@@ -81,15 +84,17 @@ class Trainer:
                 f"batch-size {cfg.train.batch_size} not divisible by "
                 f"data-parallel size {n_data}")
 
-        self.train_ds = build_dataset(cfg, "train")
+        self.train_ds = None if eval_only else build_dataset(cfg, "train")
         try:
             self.val_ds = build_dataset(cfg, "validation")
         except (KeyError, FileNotFoundError):
             self.val_ds = None
-        if len(self.train_ds) == 0:
+        if not eval_only and len(self.train_ds) == 0:
             raise ValueError("empty training dataset")
 
-        steps_per_epoch = max(self.train_ds.steps_per_epoch(cfg.train.batch_size), 1)
+        steps_per_epoch = max(
+            self.train_ds.steps_per_epoch(cfg.train.batch_size), 1
+        ) if self.train_ds is not None else 1000
         self.tx = make_optimizer(cfg.optim, steps_per_epoch)
         self.model, variables = init_model(
             cfg, jax.random.PRNGKey(cfg.train.seed), batch_size=2,
@@ -129,18 +134,27 @@ class Trainer:
 
         self.metrics = MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
         self.best_val = float("inf")
+        # Host-side mirrors: device_get of state.step every iteration would
+        # force a per-step host sync and defeat async dispatch.
+        self._host_step = self.step
+        self._epochs_done = 0
 
     @property
     def step(self) -> int:
         return int(jax.device_get(self.state.step))
 
     def fit(self, epochs: Optional[int] = None):
+        if self.train_ds is None:
+            raise RuntimeError("Trainer was built with eval_only=True")
         cfg = self.cfg
         epochs = cfg.train.epochs if epochs is None else epochs
         bs = cfg.train.batch_size
         meter = AverageMeter("loss")
         pair_meter = AverageMeter("pairs/s")
-        for epoch in range(epochs):
+        # Epoch numbering continues across fit() calls so shuffle seeds are
+        # consumed exactly once each (e.g. --profile-steps splits fitting).
+        first_epoch = self._epochs_done
+        for epoch in range(first_epoch, first_epoch + epochs):
             it = DevicePrefetcher(
                 self.train_ds.iter_batches(bs, shuffle=True,
                                            seed=cfg.train.seed + epoch),
@@ -148,7 +162,8 @@ class Trainer:
             t_last = time.time()
             for batch in it:
                 self.state, m = self.train_step(self.state, batch)
-                step = self.step
+                self._host_step += 1
+                step = self._host_step
                 if step % cfg.train.log_every == 0:
                     m_host = {k: float(jax.device_get(v)) for k, v in m.items()}
                     now = time.time()
@@ -162,7 +177,7 @@ class Trainer:
                         "epoch %d step %d loss %.4f (x %.4f q %.5f) %.0f pairs/s",
                         epoch, step, m_host["loss"], m_host["loss_x"],
                         m_host["loss_q"], pair_meter.val)
-                self.ckpt.maybe_save(self.state)
+                self.ckpt.maybe_save(self.state, step=self._host_step)
             if self.val_ds is not None and len(self.val_ds) and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 val = self.validate()
@@ -172,12 +187,20 @@ class Trainer:
                         "validation split too small for batch size %d; skipped",
                         cfg.train.batch_size)
                 else:
-                    self.metrics.write(self.step, "val", val)
+                    self.metrics.write(self._host_step, "val", val)
                     self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
                     if val["loss"] < self.best_val:
                         self.best_val = val["loss"]
-                        self.ckpt.maybe_save(self.state, metrics=val, force=True)
-        self.ckpt.maybe_save(self.state, force=True)
+                        # Dedicated best-model snapshot: the step-indexed
+                        # manager only keeps the last N steps, which would
+                        # garbage-collect an older best checkpoint.
+                        from deeplio_tpu.train.checkpoint import save_params
+                        save_params(os.path.join(self.workdir, "best"),
+                                    self.state.params, overwrite=True)
+                        self.ckpt.maybe_save(self.state, metrics=val,
+                                             force=True, step=self._host_step)
+            self._epochs_done = epoch + 1
+        self.ckpt.maybe_save(self.state, force=True, step=self._host_step)
         self.ckpt.wait()
         return self.state
 

@@ -25,7 +25,7 @@ import optax
 
 from deeplio_tpu.config.schema import Config
 from deeplio_tpu.models.pointseg import PointSegNet
-from deeplio_tpu.ops.projection import make_projector
+from deeplio_tpu.ops.projection import make_projector, project_batch
 from deeplio_tpu.train.checkpoint import save_params
 from deeplio_tpu.utils import get_app_logger
 
@@ -33,9 +33,11 @@ NUM_CLASSES = 3  # 0=empty, 1=ground, 2=structure
 GROUND_Z = -1.2
 
 
-def geometric_labels(img: jax.Array, mask: jax.Array) -> jax.Array:
-    """Pseudo-labels from the projected vertex map: [B,H,W] int32."""
-    z = img[..., 2]
+def geometric_labels(img5: jax.Array, mask: jax.Array) -> jax.Array:
+    """Pseudo-labels from the RAW 5-channel projection (x,y,z,rem,range) —
+    NOT the assembled/normalized model input, whose channel order and
+    scaling are config-dependent. [B,H,W] int32."""
+    z = img5[..., 2]
     ground = (z < GROUND_Z).astype(jnp.int32)
     lab = jnp.where(mask > 0.5, 2 - ground, 0)
     return lab
@@ -77,11 +79,17 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
             vld.append(v)
         return np.stack(pts), np.stack(vld)
 
+    proj_cfg = ds.projection
+
     @jax.jit
     def project(pts, vld):
         img, mask = projector(pts, vld)
         x = jnp.concatenate([img, img], axis=-1)  # pair-width input
-        return x, geometric_labels(img, mask)
+        # Labels come from the raw (unnormalized, fixed-order) projection.
+        img5, mask5 = project_batch(pts, vld, proj_cfg.height, proj_cfg.width,
+                                    proj_cfg.fov_up_deg, proj_cfg.fov_down_deg,
+                                    packed=proj_cfg.packed)
+        return x, geometric_labels(img5, mask5)
 
     p0, v0 = sample_batch()
     x0, _ = project(jnp.asarray(p0), jnp.asarray(v0))
