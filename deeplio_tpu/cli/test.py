@@ -30,6 +30,9 @@ def parse_args(argv=None):
                    choices=["train", "validation", "test"])
     p.add_argument("--out", default=None, help="output dir (default <workdir>/eval)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--use-best", action="store_true",
+                   help="evaluate the best-validation snapshot (<workdir>/best) "
+                        "instead of the latest checkpoint")
     return p.parse_args(argv)
 
 
@@ -45,6 +48,13 @@ def main(argv=None):
                       eval_only=True)
     if trainer.ckpt.latest_step() is None:
         raise SystemExit(f"no checkpoint found under {args.workdir}")
+    if args.use_best:
+        import jax
+        from deeplio_tpu.train import load_params
+        best = os.path.join(args.workdir, "best")
+        params = load_params(best, jax.device_get(trainer.state.params))
+        trainer.state = trainer.state.replace(params=params)
+        log.info("evaluating best-validation snapshot from %s", best)
 
     drives = build_drives(cfg, args.split)
     all_scores = {}
