@@ -202,7 +202,10 @@ class LidarFeatConfig:
     name: str = "lidar-feat-pointseg"
     # pointseg options
     part: str = "encoder"        # encoder | encoder+decoder
-    bypass: bool = False         # skip-connection bypass mode
+    # `bypass` is accepted for reference-config compatibility; its upstream
+    # semantics (skip-connection bypass) could not be verified against the
+    # empty reference mount, so it maps to the decoder-bearing part.
+    bypass: bool = False
     base_channels: int = 64
     dropout: float = 0.0
     pretrained: bool = False
@@ -217,10 +220,12 @@ class LidarFeatConfig:
 
     @staticmethod
     def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
+        bypass = bool(_get(d, "bypass", False))
+        default_part = "encoder+decoder" if bypass else "encoder"
         return LidarFeatConfig(
             name=name,
-            part=str(_get(d, "part", "encoder")),
-            bypass=bool(_get(d, "bypass", False)),
+            part=str(_get(d, "part", default_part)),
+            bypass=bypass,
             base_channels=int(_get(d, "base-channels", 64)),
             dropout=float(_get(d, "dropout", 0.0)),
             pretrained=bool(_get(d, "pretrained", False)),
