@@ -103,10 +103,16 @@ def _jump_compact(keep, dest, arrays, out_len):
     their ``dest`` positions (monotone over keeps, distinct) and return the
     first ``out_len`` columns of each array.
 
-    LSB-first power-of-2 jump routing: after processing bit k every
-    element's remaining displacement is a multiple of 2^(k+1), and monotone
-    non-crossing routes make the per-round shifts collision-free (verified
-    exhaustively against a sort-based compaction over randomized cases).
+    LSB-first power-of-2 jump routing. Collision-freedom REQUIRES the
+    displacement sequence (pos - dest) to be non-decreasing over keeps: two
+    elements meeting at one slot at round k would need displacements that
+    violate monotonicity (both are ==0 mod 2^k, differ in bit k, and the
+    later one's displacement would have to be smaller). The caller
+    guarantees this: with one sentinel per pixel every pixel is occupied,
+    so consecutive keeps advance dest by exactly 1 while pos advances by
+    >=1. (A sentinel-FREE variant routing winners rightward to N+pixel is
+    ~1.36x faster but WRONG for exactly this reason — pixel gaps break
+    monotonicity; measured and rejected, see docs/performance.md.)
     log2(M) rounds of roll+select — no sort, no scatter, no gather.
     """
     b, m = keep.shape
