@@ -1,0 +1,82 @@
+"""Projection backend shootout on the real chip.
+
+Usage: python benchmarks/bench_projection.py [batch]
+Measures scans/s for each backend at production scale (131072 points ->
+64x1024), honest sync rules from utils/timing.py (distinct input buffers,
+scalar-reduced outputs, device_get sync).
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplio_tpu.data.synthetic import synthetic_ring_batch
+from deeplio_tpu.ops import projection as proj
+
+H, W, FU, FD = 64, 1024, 3.0, -25.0
+N = 131072
+
+
+def ring_cloud_batch(rng, b, n):
+    return synthetic_ring_batch(rng, b, n, rings=H, fov_up_deg=FU,
+                                fov_down_deg=FD)
+
+
+def measure(fn, inputs, iters=20, warmup=3):
+    out = None
+    for i in range(warmup):
+        out = fn(*inputs[i % len(inputs)])
+    float(jax.device_get(out))
+    t0 = time.time()
+    for i in range(iters):
+        out = fn(*inputs[i % len(inputs)])
+    float(jax.device_get(out))
+    return (time.time() - t0) / iters
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    rng = np.random.default_rng(0)
+    inputs = []
+    for s in range(3):
+        pts = ring_cloud_batch(rng, b, N)
+        valid = rng.uniform(size=(b, N)) > 0.02
+        inputs.append((jax.device_put(jnp.asarray(pts)),
+                       jax.device_put(jnp.asarray(valid))))
+
+    def reduce(img, mask):
+        return (img.sum() + mask.sum()).astype(jnp.float32)
+
+    backends = {
+        "sort-sentinel-packed": lambda p, v: reduce(
+            *proj.project_batch(p, v, H, W, FU, FD, packed=True)),
+        "sort-sentinel-exact": lambda p, v: reduce(
+            *proj.project_batch(p, v, H, W, FU, FD, packed=False)),
+        "sort-free-gather": lambda p, v: reduce(
+            *proj.project_batch_sorted(p, v, H, W, FU, FD, payload="gather")),
+        "sort-free-carry": lambda p, v: reduce(
+            *proj.project_batch_sorted(p, v, H, W, FU, FD, payload="carry")),
+        "sort-free-carry-f16": lambda p, v: reduce(
+            *proj.project_batch_sorted(p, v, H, W, FU, FD,
+                                       payload="carry-f16")),
+        "ring-gather": lambda p, v: reduce(
+            *proj.project_batch_ring(p, v, H, W, FU, FD, payload="gather")),
+        "ring-carry": lambda p, v: reduce(
+            *proj.project_batch_ring(p, v, H, W, FU, FD, payload="carry")),
+        "ring-carry-f16": lambda p, v: reduce(
+            *proj.project_batch_ring(p, v, H, W, FU, FD, payload="carry-f16")),
+    }
+    for name, fn in backends.items():
+        jfn = jax.jit(fn)
+        dt = measure(jfn, inputs)
+        print(f"{name:24s} {b / dt:9.1f} scans/s   ({dt * 1e3 / b:6.3f} ms/scan)")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,11 +75,16 @@ class ProjectionConfig:
     fov_up_deg: float = 3.0
     fov_down_deg: float = -25.0
     max_points: int = 131072  # static per-scan point capacity (pad/truncate)
-    # packed=True carries channels as f16 pairs through the projection sorts
-    # (~1.65x faster; <=3cm xyz rounding + 1cm range quantization).
+    # packed=True carries channels as f16 pairs through the legacy
+    # sort-sentinel backend (~1.65x faster there; <=3cm xyz rounding). The
+    # "sort"/"ring" backends gather exact f32 payloads and ignore it.
     packed: bool = False
-    # backend: "sort" (XLA two-sort compaction, production) | "pallas"
-    # (fused RMW kernel — see ops/projection_pallas.py for the tradeoffs).
+    # backend: "sort" (sentinel-free sort + jump compact/expand, production)
+    #        | "ring" (sort-FREE segmented min-scan; requires ring-ordered
+    #          scans — pixel index non-decreasing over valid points, see
+    #          ops/projection.py::project_batch_ring)
+    #        | "sort-sentinel" (round-1 two-sort compaction, kept for parity)
+    #        | "pallas" (fused RMW kernel — see ops/projection_pallas.py).
     backend: str = "sort"
 
     @property

@@ -163,11 +163,17 @@ def synthetic_scan(
     max_range: float = 80.0,
     fov_up_deg: float = 3.0,
     fov_down_deg: float = -25.0,
+    rings: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Observe the world from one pose: body-frame (x,y,z,remission) + valid.
 
     Returns (points [max_points, 4] float32, valid [max_points] bool) —
     exactly the padded-scan contract of :mod:`deeplio_tpu.ops.projection`.
+
+    ``rings > 0`` emits points in spinning-sensor order — sorted by
+    (elevation ring, azimuth), the KITTI Velodyne .bin layout — which makes
+    the scan eligible for the sort-free ``ring`` projection backend when
+    the range image has ``height == rings``.
     """
     rng = np.random.default_rng(seed + 3)
     Rwb, t = T_world_body[:3, :3], T_world_body[:3, 3]
@@ -184,6 +190,9 @@ def synthetic_scan(
     if body.shape[0] > max_points:
         sel = rng.choice(body.shape[0], max_points, replace=False)
         body = body[sel]
+    if rings:
+        body = body[ring_order(body.astype(np.float32), rings,
+                                fov_up_deg, fov_down_deg)]
     n = body.shape[0]
     remission = rng.uniform(0.05, 0.95, (n, 1))
     pts = np.zeros((max_points, 4), np.float32)
@@ -192,3 +201,52 @@ def synthetic_scan(
     valid = np.zeros(max_points, bool)
     valid[:n] = True
     return pts, valid
+
+
+def ring_order(xyz: np.ndarray, rings: int, fov_up_deg: float = 3.0,
+               fov_down_deg: float = -25.0) -> np.ndarray:
+    """Permutation putting [N, 3+] points in spinning-sensor order:
+    elevation ring (top row first), then azimuth in image-column order.
+
+    The ring binning uses the SAME float32 formula as the device projection
+    (ops/projection.py::spherical_uv) so a scan reordered for ``rings == H``
+    satisfies the ring backend's monotone-pixel contract except for
+    float-boundary points, which that backend degrades gracefully on.
+    Also the host-side canonicalizer for real scans whose native ring-major
+    layout was lost (e.g. shuffled/filtered exports).
+    """
+    x = xyz[:, 0].astype(np.float32)
+    y = xyz[:, 1].astype(np.float32)
+    z = xyz[:, 2].astype(np.float32)
+    r = np.sqrt(x * x + y * y + z * z)
+    pitch = np.arcsin(np.clip(z / np.maximum(r, np.float32(1e-9)), -1.0, 1.0))
+    yaw = np.arctan2(y, x)
+    fov_down = np.float32(np.deg2rad(fov_down_deg))
+    fov = np.float32(np.deg2rad(fov_up_deg - fov_down_deg))
+    v = np.clip(np.floor((1.0 - (pitch - fov_down) / fov) * rings),
+                0, rings - 1)
+    u_frac = 0.5 * (1.0 - yaw / np.float32(np.pi))
+    return np.lexsort((u_frac, v))
+
+
+def synthetic_ring_batch(rng: np.ndarray, batch: int, n_points: int,
+                         rings: int = 64, fov_up_deg: float = 3.0,
+                         fov_down_deg: float = -25.0) -> np.ndarray:
+    """Vectorized spinning-LiDAR batch: [batch, n_points, 4] float32 in
+    ring-major order (ring pitches at image-row centers, one azimuth sweep
+    per ring, jittered within azimuth steps). The throughput fixture for
+    bench.py / __graft_entry__ — shaped and ORDERED like real sensor data.
+    """
+    per = n_points // rings
+    assert per * rings == n_points, "n_points must be a multiple of rings"
+    fu, fd = np.deg2rad(fov_up_deg), np.deg2rad(fov_down_deg)
+    fov = fu - fd
+    pitch = fd + fov * (1.0 - (np.arange(rings) + 0.5) / rings)     # [R]
+    jit = rng.uniform(0.05, 0.95, (batch, rings, per))
+    yaw = np.pi - 2 * np.pi * (np.arange(per) + jit) / per          # [b,R,P]
+    rr = rng.uniform(2.0, 70.0, (batch, rings, per))
+    cp = np.cos(pitch)[None, :, None]
+    pts = np.stack([rr * cp * np.cos(yaw), rr * cp * np.sin(yaw),
+                    rr * np.sin(pitch)[None, :, None],
+                    rng.uniform(0, 1, (batch, rings, per))], -1)
+    return pts.reshape(batch, n_points, 4).astype(np.float32)

@@ -100,19 +100,21 @@ def _unpack_f16x2(p: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _jump_compact(keep, dest, arrays, out_len):
     """Stable compaction: move keep-marked elements of [B, M] arrays left to
-    their ``dest`` positions (monotone over keeps, distinct) and return the
-    first ``out_len`` columns of each array.
+    their ``dest`` positions (monotone over keeps, distinct) and return
+    ``(arrays, live)`` — the first ``out_len`` columns of each array plus the
+    occupancy mask (True where a routed element actually landed).
 
     LSB-first power-of-2 jump routing. Collision-freedom REQUIRES the
     displacement sequence (pos - dest) to be non-decreasing over keeps: two
     elements meeting at one slot at round k would need displacements that
     violate monotonicity (both are ==0 mod 2^k, differ in bit k, and the
-    later one's displacement would have to be smaller). The caller
-    guarantees this: with one sentinel per pixel every pixel is occupied,
-    so consecutive keeps advance dest by exactly 1 while pos advances by
-    >=1. (A sentinel-FREE variant routing winners rightward to N+pixel is
-    ~1.36x faster but WRONG for exactly this reason — pixel gaps break
-    monotonicity; measured and rejected, see docs/performance.md.)
+    later one's displacement would have to be smaller). Callers guarantee
+    this two ways: sentinel routing (one sentinel per pixel -> dest advances
+    by exactly 1 per keep) or rank routing (dest = cumsum(keep)-1, which
+    advances by exactly 1 by construction). (A sentinel-FREE variant routing
+    winners rightward DIRECTLY to N+pixel is ~1.36x faster but WRONG — pixel
+    gaps break monotonicity; measured and rejected, see docs/performance.md.
+    The correct sentinel-free placement is rank-compact + _jump_expand.)
     log2(M) rounds of roll+select — no sort, no scatter, no gather.
     """
     b, m = keep.shape
@@ -127,7 +129,65 @@ def _jump_compact(keep, dest, arrays, out_len):
         arrays = [jnp.where(move_in, jnp.roll(a, -d, axis=1), a) for a in arrays]
         delta = jnp.where(move_in, jnp.roll(delta, -d, axis=1) - d, delta)
         live = (live & ~move) | move_in
-    return [a[:, :out_len] for a in arrays]
+    return [a[:, :out_len] for a in arrays], live[:, :out_len]
+
+
+def _jump_expand(live, dest, arrays):
+    """Inverse of :func:`_jump_compact`: scatter live elements of [B, M]
+    arrays RIGHT to their ``dest`` positions (strictly increasing over
+    lives, dest[i] >= i). Returns ``(arrays, landed)`` where ``landed``
+    marks positions that received an element; other slots hold stale
+    values the caller must mask.
+
+    MSB-first power-of-2 jump routing — the exact time-reversal of the
+    LSB-first compaction: an expansion with displacements (dest - pos)
+    non-decreasing over lives is the round-reversed replay of a compaction
+    with those same displacements (which are non-decreasing over its keeps,
+    hence collision-free), so it is collision-free too. Strictly increasing
+    integer dest gives dest[i+1]-(i+1) >= dest[i]-i, satisfying the
+    invariant. No wraparound: delta <= M-1-pos, so pos+2^k never passes M.
+    """
+    b, m = live.shape
+    rounds = max(int(np.ceil(np.log2(max(m, 2)))), 1)
+    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+    delta = jnp.where(live, dest - pos, 0)
+    for k in reversed(range(rounds)):
+        d = 1 << k
+        move = live & (((delta >> k) & 1) == 1)
+        move_in = jnp.roll(move, d, axis=1)
+        arrays = [jnp.where(move_in, jnp.roll(a, d, axis=1), a) for a in arrays]
+        delta = jnp.where(move_in, jnp.roll(delta, d, axis=1) - d, delta)
+        live = (live & ~move) | move_in
+    return arrays, live
+
+
+def _seg_min_scan(boundary, val, payloads=()):
+    """Forward inclusive SEGMENTED argmin-scan over [B, N] int32 values.
+
+    ``boundary[i]`` True marks the start of a new segment at i. After the
+    scan, position i holds min(val[seg_start..i]) and each payload holds the
+    minimizing element's payload; a segment's LAST position holds the
+    full-segment winner. Hillis-Steele doubling with the standard
+    segmented-scan monoid (flag OR, value absorbed from the left only while
+    no boundary has been crossed): log2(N) rounds of roll+min+select.
+    Returns (mins, payloads_at_min).
+    """
+    b, n = val.shape
+    rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    col = jnp.arange(n, dtype=jnp.int32)
+    f = boundary
+    m = val
+    ps = list(payloads)
+    for k in range(rounds):
+        d = 1 << k
+        in_range = col >= d
+        m_prev = jnp.where(in_range, jnp.roll(m, d, axis=1), big)
+        take_prev = ~f & (m_prev < m)
+        m = jnp.where(take_prev, m_prev, m)
+        ps = [jnp.where(take_prev, jnp.roll(p, d, axis=1), p) for p in ps]
+        f = f | jnp.where(in_range, jnp.roll(f, d, axis=1), True)
+    return m, ps
 
 
 def project_batch(
@@ -199,7 +259,7 @@ def project_batch(
     # Compaction: each winner's destination IS its pixel id (sentinels
     # guarantee exactly one winner per pixel). LSB-first jump routing is
     # ~1.36x faster than a second stable sort on v5e and bit-identical.
-    compacted = _jump_compact(keep, pix_s, [key_s, *ch_s], n_pix)
+    compacted, _ = _jump_compact(keep, pix_s, [key_s, *ch_s], n_pix)
     key_c, ch_c = compacted[0], compacted[1:]
 
     # A pixel is empty iff its winner is the sentinel (low bits == rq_max).
@@ -212,6 +272,241 @@ def project_batch(
     else:
         img = jnp.stack(ch_c, -1) * mask[..., None]
     return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
+
+
+def _pad_cols(width: int, *arrays):
+    """Zero-pad [B, M] arrays on the column axis up to ``width`` (no-op when
+    already wide enough). Expansion must run at the full pixel width even
+    when the scan capacity is smaller."""
+    m = arrays[0].shape[1]
+    if m >= width:
+        return arrays
+    return tuple(jnp.pad(a, ((0, 0), (0, width - m))) for a in arrays)
+
+
+def _idx_key_layout(n: int, n_pix: int) -> Tuple[int, int, float]:
+    """(idx_bits, rq_bits, rq_scale) for keys that carry (range, index).
+
+    The per-point key is ``rq << idx_bits | idx``; taking its min gives the
+    closest point with ties broken toward the SMALLEST index — the oracle's
+    first-point-wins rule. rq_bits shrinks below the 1cm default only when
+    idx_bits eats the int31 budget.
+    """
+    idx_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    rq_bits = min(DEFAULT_RQ_BITS, 30 - idx_bits)
+    if rq_bits < 8:
+        raise ValueError(f"scan capacity {n} too large for int32 (range, idx) keys")
+    rq_scale = 100.0 if rq_bits >= DEFAULT_RQ_BITS else (1 << rq_bits) / 164.0
+    return idx_bits, rq_bits, rq_scale
+
+
+def _gather_winners(points, r, win_idx, landed, rq_ok, b, H, W):
+    """Fetch winner payloads by index and assemble the dense 5ch image.
+
+    One [B, n_pix] gather per channel from the ORIGINAL f32 points — the
+    placement machinery only ever routes (key, index) pairs, so payloads
+    stay exact f32 with no packing loss.
+    """
+    mask = (landed & rq_ok).astype(jnp.float32)
+    safe = jnp.where(landed & rq_ok, win_idx, 0)
+    pts = jnp.take_along_axis(points, safe[..., None], axis=1)      # [B,P,4]
+    rr = jnp.take_along_axis(r, safe, axis=1)                        # [B,P]
+    img = jnp.concatenate([pts, rr[..., None]], -1) * mask[..., None]
+    return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
+
+
+def project_batch_sorted(
+    points: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    payload: str = "carry",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sentinel-free sort projection: same semantics as :func:`project_batch`
+    (exact mode), less work. Handles ARBITRARY point order.
+
+    vs the sentinel path: the sort runs on N elements instead of N + H*W
+    (-33% at 131k/64x1024); winners (run starts) are rank-compacted
+    (dest = cumsum-1, displacement monotone by construction) then routed to
+    their pixels with the MSB-first expansion (dest = pixel id, strictly
+    increasing, monotone by construction). Winner selection is bit-identical
+    to project_batch: same quantized-range key, same first-index tie-break.
+
+    ``payload``: "carry" routes exact f32 channels through sort+routing
+    (production; range recomputed from xyz), "carry-f16" packs channel
+    pairs into int32 (less sort traffic, <=3cm rounding), "gather" routes
+    the point index and take_along_axis-es the channels at the end (exact
+    but the gather is ~6x the routing cost on v5e — decision record).
+    """
+    b, n = points.shape[0], points.shape[1]
+    n_pix = H * W
+    rq_bits = _rq_bits_for(n_pix)
+    rq_max = (1 << rq_bits) - 1
+    rq_scale = 100.0 if rq_bits >= DEFAULT_RQ_BITS else (1 << rq_bits) / 164.0
+
+    xyz = points[..., :3]
+    u, v, r = spherical_uv(xyz, H, W, fov_up_deg, fov_down_deg)
+    ok = valid & (r > 1e-6)
+    pix = jnp.where(ok, v * W + u, n_pix)
+    rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+    key = (pix << rq_bits) | jnp.where(ok, rq, rq_max - 1)
+
+    if payload == "carry":
+        chans = [points[..., 0], points[..., 1], points[..., 2],
+                 points[..., 3]]
+    elif payload == "carry-f16":
+        chans = [_pack_f16x2(points[..., 0], points[..., 1]),
+                 _pack_f16x2(points[..., 2], points[..., 3])]
+    elif payload == "gather":
+        chans = [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))]
+    else:
+        raise ValueError(f"unknown sorted payload mode {payload!r}")
+
+    key_s, *ch_s = jax.lax.sort((key, *chans), num_keys=1, is_stable=True,
+                                dimension=-1)
+    pix_s = key_s >> rq_bits
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), pix_s[:, 1:] != pix_s[:, :-1]], axis=1)
+    keep = first & (pix_s < n_pix)
+
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    (wpix, wkey, *wch), wlive = _jump_compact(
+        keep, rank, [pix_s, key_s, *ch_s], min(n, n_pix))
+    padded = _pad_cols(n_pix, wpix, wkey, wlive, *wch)
+    wpix, wkey, wlive, wch = padded[0], padded[1], padded[2], padded[3:]
+    (ekey, *ech), landed = _jump_expand(wlive, wpix, [wkey, *wch])
+    mask = landed.astype(jnp.float32)
+
+    if payload == "gather":
+        return _gather_winners(points, r, ech[0], landed, True, b, H, W)
+    if payload == "carry-f16":
+        x, y = _unpack_f16x2(ech[0])
+        z, rem = _unpack_f16x2(ech[1])
+        depth = (ekey & rq_max).astype(jnp.float32) / jnp.float32(rq_scale)
+    else:
+        x, y, z, rem = ech
+        depth = jnp.sqrt(x * x + y * y + z * z)
+    img = jnp.stack([x, y, z, rem, depth], -1) * mask[..., None]
+    return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
+
+
+def project_batch_ring(
+    points: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    payload: str = "carry",
+) -> Tuple[jax.Array, jax.Array]:
+    """SORT-FREE projection for ring-ordered scans.
+
+    Contract: over VALID points, the pixel index v*W+u is NON-DECREASING
+    along the point axis. Real spinning LiDAR streams are ring-major with
+    azimuth monotone inside each ring (the reference's KITTI .bin layout);
+    when each ring maps to one image row top-to-bottom, the flattened pixel
+    sequence is monotone and every pixel's candidates are CONTIGUOUS — so a
+    segmented min-scan replaces the sort entirely. Use
+    :func:`check_ring_order` / the loader's canonicalizer to establish the
+    contract. Violations degrade GRACEFULLY, never corrupt: the running max
+    below reassigns any backward-jumping point to the previous pixel, where
+    it competes on range like any other candidate (so routing invariants
+    hold unconditionally); only the offending points can land one pixel
+    off. Heavily unordered scans should use the sort backends.
+
+    Pipeline (all roll/min/select — no sort, no scatter):
+      1. per-point (u, v, range); invalid points inherit the previous valid
+         pixel via a running max (keeps runs contiguous) and carry an
+         infinite range key (lose every contest),
+      2. segmented argmin-scan of (rq << idx_bits | idx): each run's LAST
+         slot holds its winner (closest, first-index tie-break = oracle
+         rule) and the winner's channel payloads,
+      3. rank-compact the run winners, MSB-expand to dest = pixel id
+         (strictly increasing across runs by the contract).
+
+    ``payload`` selects how winner channels reach their pixel:
+      * "carry": x,y,z,remission ride the scan/routing as exact f32 arrays
+        (range recomputed from xyz — bit-exact). Production default.
+      * "carry-f16": channels ride as two packed-f16 int32 arrays (~40%
+        less routed traffic; <=3cm xyz rounding, range from the quantized
+        key).
+      * "gather": route only (key, index), then take_along_axis the f32
+        points. Exact but MEASURED SLOW: the [B, H*W] gather costs ~6x the
+        whole scan+routing on v5e (1.13 of 1.32 ms/scan) — kept as the
+        decision record and for parity cross-checks.
+    """
+    b, n = points.shape[0], points.shape[1]
+    n_pix = H * W
+    idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
+    rq_max = (1 << rq_bits) - 1
+
+    xyz = points[..., :3]
+    u, v, r = spherical_uv(xyz, H, W, fov_up_deg, fov_down_deg)
+    ok = valid & (r > 1e-6)
+    pix = jnp.where(ok, v * W + u, -1)
+    pix = jax.lax.cummax(pix, axis=1)          # carry last valid pixel
+    pix = jnp.maximum(pix, 0)                  # leading-invalid prefix
+    rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+    rqv = jnp.where(ok, rq, rq_max)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    mkey = (rqv << idx_bits) | idx
+
+    if payload == "carry":
+        chans = [points[..., 0], points[..., 1], points[..., 2],
+                 points[..., 3]]
+    elif payload == "carry-f16":
+        chans = [_pack_f16x2(points[..., 0], points[..., 1]),
+                 _pack_f16x2(points[..., 2], points[..., 3])]
+    elif payload == "gather":
+        chans = []
+    else:
+        raise ValueError(f"unknown ring payload mode {payload!r}")
+
+    start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), pix[:, 1:] != pix[:, :-1]], axis=1)
+    mins, wch = _seg_min_scan(start, mkey, chans)
+    end = jnp.concatenate(
+        [pix[:, 1:] != pix[:, :-1], jnp.ones((b, 1), bool)], axis=1)
+
+    rank = jnp.cumsum(end.astype(jnp.int32), axis=1) - 1
+    (wpix, wkey, *wch), wlive = _jump_compact(
+        end, rank, [pix, mins, *wch], min(n, n_pix))
+    padded = _pad_cols(n_pix, wpix, wkey, wlive, *wch)
+    wpix, wkey, wlive, wch = padded[0], padded[1], padded[2], padded[3:]
+    (ekey, *ech), landed = _jump_expand(wlive, wpix, [wkey, *wch])
+    rq_ok = (ekey >> idx_bits) < rq_max
+    mask = (landed & rq_ok).astype(jnp.float32)
+
+    if payload == "gather":
+        return _gather_winners(points, r, ekey & ((1 << idx_bits) - 1),
+                               landed, rq_ok, b, H, W)
+    if payload == "carry-f16":
+        x, y = _unpack_f16x2(ech[0])
+        z, rem = _unpack_f16x2(ech[1])
+        depth = (ekey >> idx_bits).astype(jnp.float32) / jnp.float32(rq_scale)
+    else:
+        x, y, z, rem = ech
+        depth = jnp.sqrt(x * x + y * y + z * z)
+    img = jnp.stack([x, y, z, rem, depth], -1) * mask[..., None]
+    return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
+
+
+def check_ring_order(points: np.ndarray, valid: np.ndarray, H: int, W: int,
+                     fov_up_deg: float, fov_down_deg: float) -> bool:
+    """Host-side check of the :func:`project_batch_ring` contract: pixel
+    index non-decreasing over valid points of one [N, 4] scan."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    yaw = np.arctan2(y, x)
+    pitch = np.arcsin(np.clip(z / np.maximum(r, 1e-9), -1.0, 1.0))
+    fov_down = np.float32(np.deg2rad(fov_down_deg))
+    fov = np.float32(np.deg2rad(fov_up_deg - fov_down_deg))
+    uu = np.clip(np.floor(0.5 * (1.0 - yaw / np.float32(np.pi)) * W), 0, W - 1)
+    vv = np.clip(np.floor((1.0 - (pitch - fov_down) / fov) * H), 0, H - 1)
+    pix = (vv * W + uu)[np.asarray(valid, bool) & (r > 1e-6)]
+    return bool(np.all(np.diff(pix) >= 0))
 
 
 def project_scan(
@@ -319,11 +614,19 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
         n = points.shape[-2]
         pts = points.reshape((-1, n, 4))
         vld = valid.reshape((-1, n))
+        pay = "carry-f16" if packed else "carry"
         if backend == "pallas":
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
             img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
-        else:
+        elif backend == "ring":
+            img5, mask = project_batch_ring(pts, vld, H, W, fu, fd, payload=pay)
+        elif backend == "sort":
+            img5, mask = project_batch_sorted(pts, vld, H, W, fu, fd,
+                                              payload=pay)
+        elif backend == "sort-sentinel":
             img5, mask = project_batch(pts, vld, H, W, fu, fd, packed=packed)
+        else:
+            raise ValueError(f"unknown projection backend {backend!r}")
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
         c = img.shape[-1]
@@ -348,6 +651,7 @@ def project_scan_np(
     fov_up_deg: float,
     fov_down_deg: float,
     quantize: bool = True,
+    key_layout: str = "pixel",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sequential-fill oracle with identical semantics to :func:`project_batch`.
 
@@ -356,7 +660,10 @@ def project_scan_np(
     With ``quantize=True`` (default) the comparison uses the same quantized
     range as the production sort key, so winners match bit-exactly; with
     ``quantize=False`` the comparison is exact-float (sub-centimetre ties may
-    pick a different, equally-close point). Deliberately simple; tests only.
+    pick a different, equally-close point). ``key_layout`` selects whose
+    quantization to mirror: "pixel" = the sort paths' pixel<<rq keys,
+    "index" = the ring path's rq<<idx keys (coarser when idx_bits squeezes
+    the budget). Deliberately simple; tests only.
     """
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     r = np.sqrt(x * x + y * y + z * z)
@@ -370,9 +677,13 @@ def project_scan_np(
     v = np.clip(v, 0, H - 1)
 
     if quantize:
-        rq_bits = _rq_bits_for(H * W)
+        if key_layout == "index":
+            _, rq_bits, rq_scale = _idx_key_layout(points.shape[0], H * W)
+        else:
+            rq_bits = _rq_bits_for(H * W)
+            rq_scale = (100.0 if rq_bits >= DEFAULT_RQ_BITS
+                        else (1 << rq_bits) / 164.0)
         rq_max = (1 << rq_bits) - 1
-        rq_scale = 100.0 if rq_bits >= DEFAULT_RQ_BITS else (1 << rq_bits) / 164.0
         cmp = np.clip((r * rq_scale).astype(np.int64), 0, rq_max - 1)
     else:
         cmp = r

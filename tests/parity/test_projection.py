@@ -209,8 +209,167 @@ class TestJumpCompaction:
             dest[pos_keep] = np.arange(n_keep)
             vals = rng.integers(0, 1 << 30, m).astype(np.int32)
             vals2 = rng.integers(0, 1 << 30, m).astype(np.int32)
-            out = _jump_compact(jnp.asarray(keep)[None], jnp.asarray(dest)[None],
-                                [jnp.asarray(vals)[None], jnp.asarray(vals2)[None]],
-                                n_keep)
+            out, live = _jump_compact(
+                jnp.asarray(keep)[None], jnp.asarray(dest)[None],
+                [jnp.asarray(vals)[None], jnp.asarray(vals2)[None]], n_keep)
             np.testing.assert_array_equal(np.asarray(out[0])[0], vals[pos_keep])
             np.testing.assert_array_equal(np.asarray(out[1])[0], vals2[pos_keep])
+            assert bool(np.asarray(live)[0, :n_keep].all())
+
+    def test_expand_inverts_compact(self, rng):
+        """MSB-first expansion scatters compacted values back to strictly
+        increasing destinations (the time-reversal property)."""
+        import jax.numpy as jnp
+        from deeplio_tpu.ops.projection import _jump_expand
+        for trial in range(20):
+            m = int(rng.integers(64, 2048))
+            n_live = int(rng.integers(1, m + 1))
+            dest_vals = np.sort(rng.choice(m, n_live, replace=False))
+            # Elements sit compacted at the front; dest[i] >= i guaranteed
+            # by sortedness + distinctness.
+            live = np.zeros(m, bool)
+            live[:n_live] = True
+            dest = np.zeros(m, np.int32)
+            dest[:n_live] = dest_vals
+            vals = rng.integers(0, 1 << 30, m).astype(np.int32)
+            out, landed = _jump_expand(
+                jnp.asarray(live)[None], jnp.asarray(dest)[None],
+                [jnp.asarray(vals)[None]])
+            expect = np.zeros(m, np.int32)
+            expect[dest_vals] = vals[:n_live]
+            got = np.where(np.asarray(landed)[0], np.asarray(out[0])[0], 0)
+            np.testing.assert_array_equal(got, expect)
+            np.testing.assert_array_equal(
+                np.asarray(landed)[0], np.isin(np.arange(m), dest_vals))
+
+
+def _ring_cloud(rng, n, H, W, n_valid=None, dropout=0.0, fu=FU, fd=FD):
+    """Spinning-sensor-ordered cloud with ring pitches at row centers."""
+    rings, per = H, n // H
+    fur, fdr = np.deg2rad(fu), np.deg2rad(fd)
+    fov = fur - fdr
+    pitch = fdr + fov * (1.0 - (np.arange(rings) + 0.5) / H)
+    jit = rng.uniform(0.05, 0.95, (rings, per))
+    yaw = np.pi - 2 * np.pi * (np.arange(per) + jit) / per
+    rr = rng.uniform(2.0, 70.0, (rings, per))
+    cp = np.cos(pitch)[:, None]
+    pts = np.stack([rr * cp * np.cos(yaw), rr * cp * np.sin(yaw),
+                    rr * np.sin(pitch)[:, None],
+                    rng.uniform(0, 1, (rings, per))], -1)
+    pts = pts.reshape(n, 4).astype(np.float32)
+    valid = np.ones(n, bool)
+    if dropout:
+        valid &= rng.uniform(size=n) > dropout
+    if n_valid is not None:
+        valid[n_valid:] = False
+    return pts, valid
+
+
+class TestSortedFreeParity:
+    """Sentinel-free sort backend vs the oracle (arbitrary point order)."""
+
+    @pytest.mark.parametrize("n,nv,seed", [(512, None, 0), (4096, 1000, 1),
+                                           (20000, None, 2)])
+    def test_carry_exact(self, n, nv, seed):
+        rng = np.random.default_rng(seed)
+        pts, valid = _random_cloud(rng, n, n_valid=nv)
+        img_j, mask_j = jax.jit(lambda p, v: proj.project_batch_sorted(
+            p[None], v[None], H, W, FU, FD))(jnp.asarray(pts),
+                                             jnp.asarray(valid))
+        img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD)
+        np.testing.assert_array_equal(np.asarray(mask_j)[0], mask_n)
+        assert_img_parity(img_j[0], img_n)
+
+    def test_carry_f16_winners_identical(self):
+        rng = np.random.default_rng(3)
+        pts, valid = _random_cloud(rng, 8192)
+        j = jnp.asarray(pts)[None], jnp.asarray(valid)[None]
+        exact, m1 = proj.project_batch_sorted(*j, H, W, FU, FD)
+        f16, m2 = proj.project_batch_sorted(*j, H, W, FU, FD,
+                                            payload="carry-f16")
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        e, p = np.asarray(exact)[0], np.asarray(f16)[0]
+        np.testing.assert_allclose(p[..., :3], e[..., :3], atol=0.05)
+        np.testing.assert_allclose(p[..., 4], e[..., 4], atol=0.011)
+
+    def test_gather_matches_carry(self):
+        rng = np.random.default_rng(4)
+        pts, valid = _random_cloud(rng, 4096, n_valid=3000)
+        j = jnp.asarray(pts)[None], jnp.asarray(valid)[None]
+        a, m1 = proj.project_batch_sorted(*j, H, W, FU, FD, payload="carry")
+        b, m2 = proj.project_batch_sorted(*j, H, W, FU, FD, payload="gather")
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(a)[..., :4],
+                                      np.asarray(b)[..., :4])
+
+    def test_small_capacity_vs_image(self):
+        # max_points < H*W exercises the pad-before-expand path.
+        rng = np.random.default_rng(5)
+        pts, valid = _random_cloud(rng, 1024)
+        img_j, mask_j = proj.project_batch_sorted(
+            jnp.asarray(pts)[None], jnp.asarray(valid)[None], H, W, FU, FD)
+        img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD)
+        np.testing.assert_array_equal(np.asarray(mask_j)[0], mask_n)
+        assert_img_parity(img_j[0], img_n)
+
+
+class TestRingParity:
+    """Sort-free ring backend vs the oracle on sensor-ordered clouds."""
+
+    @pytest.mark.parametrize("nv,drop,seed", [(None, 0.0, 0), (1500, 0.0, 1),
+                                              (None, 0.3, 2)])
+    def test_carry_exact(self, nv, drop, seed):
+        rng = np.random.default_rng(seed)
+        pts, valid = _ring_cloud(rng, 64 * H, H, W, n_valid=nv, dropout=drop)
+        assert proj.check_ring_order(pts, valid, H, W, FU, FD)
+        img_j, mask_j = jax.jit(lambda p, v: proj.project_batch_ring(
+            p[None], v[None], H, W, FU, FD))(jnp.asarray(pts),
+                                             jnp.asarray(valid))
+        img_n, mask_n = proj.project_scan_np(pts, valid, H, W, FU, FD,
+                                             key_layout="index")
+        np.testing.assert_array_equal(np.asarray(mask_j)[0], mask_n)
+        assert_img_parity(img_j[0], img_n)
+
+    def test_carry_f16_winners_identical(self):
+        rng = np.random.default_rng(3)
+        pts, valid = _ring_cloud(rng, 64 * H, H, W, dropout=0.05)
+        j = jnp.asarray(pts)[None], jnp.asarray(valid)[None]
+        exact, m1 = proj.project_batch_ring(*j, H, W, FU, FD)
+        f16, m2 = proj.project_batch_ring(*j, H, W, FU, FD,
+                                          payload="carry-f16")
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        e, p = np.asarray(exact)[0], np.asarray(f16)[0]
+        np.testing.assert_allclose(p[..., :3], e[..., :3], atol=0.05)
+        np.testing.assert_allclose(p[..., 4], e[..., 4], atol=0.022)
+
+    def test_all_invalid(self):
+        pts = np.ones((2048, 4), np.float32)
+        valid = np.zeros(2048, bool)
+        img, mask = proj.project_batch_ring(jnp.asarray(pts)[None],
+                                            jnp.asarray(valid)[None],
+                                            H, W, FU, FD)
+        assert float(jnp.abs(img).sum()) == 0.0
+        assert float(mask.sum()) == 0.0
+
+    def test_unordered_degrades_gracefully(self):
+        # The contract-violating cloud must still produce a well-formed
+        # image: every reported pixel's channels belong to SOME real point.
+        rng = np.random.default_rng(6)
+        pts, valid = _random_cloud(rng, 2048)
+        img, mask = proj.project_batch_ring(jnp.asarray(pts)[None],
+                                            jnp.asarray(valid)[None],
+                                            H, W, FU, FD)
+        img, mask = np.asarray(img)[0], np.asarray(mask)[0]
+        assert np.isfinite(img).all()
+        got = img[mask > 0.5][:, :4]
+        pool = {tuple(p) for p in pts}
+        assert all(tuple(g) in pool for g in got)
+
+    def test_synthetic_scan_ring_order(self):
+        from deeplio_tpu.data.synthetic import (synthetic_scan,
+                                                synthetic_trajectory,
+                                                synthetic_world)
+        world = synthetic_world(20000, seed=9)
+        Ts, _ = synthetic_trajectory(2, seed=9)
+        pts, valid = synthetic_scan(world, Ts[0], 16384, seed=0, rings=H)
+        assert proj.check_ring_order(pts, valid, H, W, FU, FD)
