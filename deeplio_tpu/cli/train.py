@@ -33,6 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N steps "
                         "into <workdir>/profile")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port (or set "
+                        "DEEPLIO_COORDINATOR / JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -51,6 +56,11 @@ def main(argv=None):
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
 
     import jax
+
+    # Multi-host: connect BEFORE any backend use so the mesh sees global
+    # devices (SURVEY.md §5 distributed row).
+    from deeplio_tpu.parallel.multihost import maybe_initialize
+    maybe_initialize(args.coordinator, args.num_processes, args.process_id)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

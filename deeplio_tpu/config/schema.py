@@ -86,6 +86,12 @@ class ProjectionConfig:
     #        | "sort-sentinel" (round-1 two-sort compaction, kept for parity)
     #        | "pallas" (fused RMW kernel — see ops/projection_pallas.py).
     backend: str = "sort"
+    # Scans per lax.map chunk inside the batched projector. The kernels'
+    # per-scan cost degrades ~2.3x when the whole 144-scan training batch
+    # runs as one fused program (working set falls out of VMEM/caches);
+    # chunking at 16-24 measured 4x faster at B=144 on v5e
+    # (docs/performance.md). 0 disables chunking.
+    chunk: int = 16
 
     @property
     def fov_rad(self) -> float:
@@ -171,6 +177,7 @@ class DatasetConfig:
             max_points=int(_get(d, "max-points", 131072)),
             packed=bool(_get(d, "packed", False)),
             backend=str(_get(d, "backend", "sort")),
+            chunk=int(_get(d, "projection-chunk", 16)),
         )
         combos = tuple(tuple(c) for c in (_get(d, "combinations", None) or ()))
         channels = tuple(_get(d, "channels", ["x", "y", "z", "remission", "depth"]))

@@ -77,15 +77,32 @@ class WindowDataset:
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      seed: int = 0, drop_last: bool = True,
-                     workers: int = 8) -> Iterator[Dict[str, np.ndarray]]:
+                     workers: int = 8,
+                     process_index: int = 0, process_count: int = 1,
+                     ) -> Iterator[Dict[str, np.ndarray]]:
         """Batch iterator with thread-parallel item assembly.
 
         The reference hides per-item cost in DataLoader worker PROCESSES;
         here item work is numpy/disk-IO (GIL-releasing), so a thread pool
         suffices and avoids fork/serialization overhead (SURVEY.md §7
         hard-part 3: the host must keep up with the device-side step).
+
+        Multi-host: ``batch_size`` is GLOBAL. Every process derives the
+        same shuffled order (same seed), then assembles only its
+        contiguous row block of each global batch — process p of n yields
+        rows [p*B/n : (p+1)*B/n), matching the mesh's jax.devices() row
+        layout (parallel/multihost.py::process_slice).
         """
         from concurrent.futures import ThreadPoolExecutor
+
+        if batch_size % process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{process_count} processes")
+        if process_count > 1 and not drop_last:
+            raise ValueError("multi-process iteration requires drop_last "
+                             "(a ragged tail batch cannot shard evenly)")
+        local = batch_size // process_count
+        lo = process_index * local
 
         order = np.arange(len(self))
         if shuffle:
@@ -94,13 +111,13 @@ class WindowDataset:
         end = (n // batch_size) * batch_size if drop_last else n
         if workers <= 1:
             for b0 in range(0, end, batch_size):
-                sel = order[b0:b0 + batch_size]
+                sel = order[b0 + lo:b0 + lo + local]
                 items = [self.get(int(i)) for i in sel]
                 yield {k: np.stack([it[k] for it in items]) for k in items[0]}
             return
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for b0 in range(0, end, batch_size):
-                sel = order[b0:b0 + batch_size]
+                sel = order[b0 + lo:b0 + lo + local]
                 items = list(pool.map(self.get, (int(i) for i in sel)))
                 yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 

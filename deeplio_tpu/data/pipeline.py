@@ -23,25 +23,40 @@ from deeplio_tpu.parallel.mesh import Mesh, batch_sharding
 
 
 class DevicePrefetcher:
-    """Wrap a host batch iterator; yields device-resident sharded batches."""
+    """Wrap a host batch iterator; yields device-resident sharded batches.
+
+    Multi-process: the iterator yields this process's LOCAL rows (see
+    ``WindowDataset.iter_batches(process_index=...)``); pass the global
+    batch size and each local block is assembled into one global sharded
+    array via ``jax.make_array_from_process_local_data`` — no host ever
+    materializes rows it doesn't feed.
+    """
 
     def __init__(self, it: Iterator[Dict[str, np.ndarray]], mesh: Mesh,
-                 depth: int = 2):
+                 depth: int = 2, global_batch_size: Optional[int] = None):
         self._it = it
         self._sharding = batch_sharding(mesh)
+        self._global_bs = global_batch_size
+        self._multiproc = jax.process_count() > 1
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        if self._multiproc:
+            from deeplio_tpu.parallel.multihost import make_global_batch
+            gbs = self._global_bs
+            if gbs is None:
+                gbs = next(iter(batch.values())).shape[0] * jax.process_count()
+            return make_global_batch(self._sharding, batch, gbs)
+        return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
+
     def _fill(self):
         try:
             for batch in self._it:
                 batch.pop("meta", None)
-                dev = {
-                    k: jax.device_put(v, self._sharding) for k, v in batch.items()
-                }
-                self._q.put(dev)
+                self._q.put(self._put_batch(batch))
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:

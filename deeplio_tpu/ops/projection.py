@@ -592,11 +592,18 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     Returns fn(points [..., N, 4], valid [..., N]) ->
     (img [..., H, W, C], mask [..., H, W]). Leading dims are flattened into
     one batch for the sort-based kernel (batch-explicit beats vmap here).
+
+    Large batches run as ``lax.map`` over ``cfg_proj.chunk``-scan chunks:
+    one fused 144-scan program measured 2.3x worse PER SCAN than 32 (the
+    scan/sort working set falls out of VMEM), while chunk=16-24 measured
+    4x faster at the training batch size (docs/performance.md). Chunking
+    changes scheduling only — winners are bit-identical.
     """
     H, W = cfg_proj.height, cfg_proj.width
     fu, fd = cfg_proj.fov_up_deg, cfg_proj.fov_down_deg
     packed = cfg_proj.packed
     backend = getattr(cfg_proj, "backend", "sort")
+    chunk = int(getattr(cfg_proj, "chunk", 0) or 0)
 
     if bool(mean) != bool(std):
         raise ValueError("normalization requires both mean and std (or neither)")
@@ -609,11 +616,7 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     if std and any(v == 0 for v in std):
         raise ValueError("normalization std contains a zero")
 
-    def project(points: jax.Array, valid: jax.Array):
-        lead = points.shape[:-2]
-        n = points.shape[-2]
-        pts = points.reshape((-1, n, 4))
-        vld = valid.reshape((-1, n))
+    def kernel(pts: jax.Array, vld: jax.Array):
         pay = "carry-f16" if packed else "carry"
         if backend == "pallas":
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
@@ -629,6 +632,28 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             raise ValueError(f"unknown projection backend {backend!r}")
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
+        return img, mask
+
+    def project(points: jax.Array, valid: jax.Array):
+        lead = points.shape[:-2]
+        n = points.shape[-2]
+        pts = points.reshape((-1, n, 4))
+        vld = valid.reshape((-1, n))
+        b = pts.shape[0]
+        if chunk > 0 and b > chunk:
+            pad = (-b) % chunk
+            if pad:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((pad, n, 4), pts.dtype)], axis=0)
+                vld = jnp.concatenate(
+                    [vld, jnp.zeros((pad, n), vld.dtype)], axis=0)
+            pts = pts.reshape(-1, chunk, n, 4)
+            vld = vld.reshape(-1, chunk, n)
+            img, mask = jax.lax.map(lambda a: kernel(*a), (pts, vld))
+            img = img.reshape((-1,) + img.shape[2:])[:b]
+            mask = mask.reshape((-1,) + mask.shape[2:])[:b]
+        else:
+            img, mask = kernel(pts, vld)
         c = img.shape[-1]
         return img.reshape(lead + (H, W, c)), mask.reshape(lead + (H, W))
 

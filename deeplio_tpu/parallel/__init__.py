@@ -7,3 +7,10 @@ from deeplio_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from deeplio_tpu.parallel import multihost
+from deeplio_tpu.parallel.multihost import (
+    is_primary,
+    make_global_batch,
+    maybe_initialize,
+    process_slice,
+)

@@ -1,0 +1,95 @@
+"""Multi-host (multi-process) data parallelism plumbing.
+
+The reference has no distributed backend at all (SURVEY.md §2.7); the
+rebuild's scale-out story is JAX-native: ``jax.distributed.initialize``
+connects processes, the mesh spans *global* devices, each process feeds
+only its addressable shard of every global batch
+(``jax.make_array_from_process_local_data``), and gradient psum rides ICI
+within a slice / DCN across hosts via XLA collectives (SURVEY.md §5
+distributed row).
+
+Process topology is taken from env vars (set by the launcher) or explicit
+CLI flags:
+
+    DEEPLIO_COORDINATOR=host:port  DEEPLIO_NUM_PROCESSES=2  DEEPLIO_PROCESS_ID=0
+
+On TPU pods, ``jax.distributed.initialize()`` with no args autodetects the
+topology; ``maybe_initialize`` therefore also fires when
+``JAX_COORDINATOR_ADDRESS`` is present (the standard launcher contract).
+Single-process runs are a no-op — every helper degrades to identity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from deeplio_tpu.utils import get_app_logger
+
+_INITIALIZED = False
+
+
+def maybe_initialize(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Connect this process to the jax.distributed cluster if configured.
+
+    Returns True when running multi-process (after initialize), False for
+    plain single-process. Safe to call more than once.
+    """
+    global _INITIALIZED
+    coordinator = coordinator or os.environ.get("DEEPLIO_COORDINATOR")
+    if num_processes is None and "DEEPLIO_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["DEEPLIO_NUM_PROCESSES"])
+    if process_id is None and "DEEPLIO_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["DEEPLIO_PROCESS_ID"])
+
+    autodetect = "JAX_COORDINATOR_ADDRESS" in os.environ
+    if not coordinator and not autodetect:
+        return jax.process_count() > 1
+    if _INITIALIZED:
+        return jax.process_count() > 1
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    _INITIALIZED = True
+    get_app_logger().info(
+        "jax.distributed initialized: process %d/%d, %d global / %d local devices",
+        jax.process_index(), jax.process_count(),
+        len(jax.devices()), len(jax.local_devices()))
+    return True
+
+
+def process_slice(global_batch_size: int) -> Tuple[int, int]:
+    """(start, size) of this process's rows within a global batch.
+
+    Mesh rows are laid out in jax.devices() order, which enumerates
+    process 0's devices first — so process p owns the contiguous row block
+    [p*local : (p+1)*local) of any batch sharded over the data axis.
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    if global_batch_size % pc:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{pc} processes")
+    local = global_batch_size // pc
+    return pi * local, local
+
+
+def is_primary() -> bool:
+    """True on the process that owns logging/checkpoint side effects."""
+    return jax.process_index() == 0
+
+
+def make_global_batch(sharding, local_batch: Dict[str, np.ndarray],
+                      global_batch_size: int):
+    """Assemble a global device array from this process's local rows."""
+    def put(v):
+        shape = (global_batch_size,) + tuple(v.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, v, shape)
+    return {k: put(v) for k, v in local_batch.items()}

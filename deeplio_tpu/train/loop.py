@@ -67,6 +67,16 @@ class MetricsWriter:
             self._tb.close()
 
 
+class _NullMetrics:
+    """Metrics sink for non-primary processes (multi-host)."""
+
+    def write(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, cfg: Config, workdir: str = "runs/default",
                  mesh=None, resume: bool = False, eval_only: bool = False):
@@ -76,6 +86,13 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir
         self.log = get_app_logger()
+        # Multi-host: mesh spans GLOBAL devices; this process feeds only its
+        # addressable rows (parallel/multihost.py). Side effects (metrics,
+        # checkpoints, best-model snapshots) happen on the primary only —
+        # state is fully replicated, so process 0's view is the global one.
+        self.proc_index = jax.process_index()
+        self.proc_count = jax.process_count()
+        self.primary = self.proc_index == 0
         self.mesh = mesh if mesh is not None else make_mesh(
             data=cfg.train.data_parallel)
         n_data = self.mesh.shape["data"]
@@ -132,7 +149,8 @@ class Trainer:
                 self.state = replicate(self.mesh, restored)
                 self.log.info("resumed from step %d", latest)
 
-        self.metrics = MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
+        self.metrics = (MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
+                        if self.primary else _NullMetrics())
         self.best_val = float("inf")
         # Host-side mirrors: device_get of state.step every iteration would
         # force a per-step host sync and defeat async dispatch.
@@ -157,8 +175,10 @@ class Trainer:
         for epoch in range(first_epoch, first_epoch + epochs):
             it = DevicePrefetcher(
                 self.train_ds.iter_batches(bs, shuffle=True,
-                                           seed=cfg.train.seed + epoch),
-                self.mesh, depth=cfg.train.prefetch)
+                                           seed=cfg.train.seed + epoch,
+                                           process_index=self.proc_index,
+                                           process_count=self.proc_count),
+                self.mesh, depth=cfg.train.prefetch, global_batch_size=bs)
             t_last = time.time()
             for batch in it:
                 self.state, m = self.train_step(self.state, batch)
@@ -177,6 +197,8 @@ class Trainer:
                         "epoch %d step %d loss %.4f (x %.4f q %.5f) %.0f pairs/s",
                         epoch, step, m_host["loss"], m_host["loss_x"],
                         m_host["loss_q"], pair_meter.val)
+                # Orbax coordinates multi-process saves itself (primary
+                # writes, everyone barriers) — ALL processes must call save.
                 self.ckpt.maybe_save(self.state, step=self._host_step)
             if self.val_ds is not None and len(self.val_ds) and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
@@ -189,6 +211,8 @@ class Trainer:
                 else:
                     self.metrics.write(self._host_step, "val", val)
                     self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
+                    # val metrics are psum-identical across processes,
+                    # so this branch decides the same way on every host.
                     if val["loss"] < self.best_val:
                         self.best_val = val["loss"]
                         # Dedicated best-model snapshot: the step-indexed
@@ -209,8 +233,11 @@ class Trainer:
         sums: Dict[str, float] = {}
         n = 0
         it = DevicePrefetcher(
-            self.val_ds.iter_batches(cfg.train.batch_size, shuffle=False),
-            self.mesh, depth=cfg.train.prefetch)
+            self.val_ds.iter_batches(cfg.train.batch_size, shuffle=False,
+                                     process_index=self.proc_index,
+                                     process_count=self.proc_count),
+            self.mesh, depth=cfg.train.prefetch,
+            global_batch_size=cfg.train.batch_size)
         for batch in it:
             _, _, m = self.eval_step(self.state, batch)
             m = {k: float(jax.device_get(v)) for k, v in m.items()}

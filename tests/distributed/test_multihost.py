@@ -1,0 +1,116 @@
+"""Multi-host data parallelism: a REAL 2-process jax.distributed CPU
+cluster (Gloo collectives) must produce the same updated params as the
+single-process 8-device run on the same global batch (SURVEY.md §5
+distributed row; VERDICT r1 missing #3).
+
+Also unit-tests the per-process slicing helpers in-process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from deeplio_tpu.config import load_config
+from deeplio_tpu.data.dataset import build_dataset
+from deeplio_tpu.data.pipeline import DevicePrefetcher
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model
+from deeplio_tpu.parallel import make_mesh, replicate
+from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+
+pytestmark = [pytest.mark.distributed]
+
+_HERE = os.path.dirname(__file__)
+GLOBAL_BATCH = 8
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    """Same step as the workers, one process, 8 devices."""
+    cfg = load_config("configs/deepio_synth.yaml")
+    mesh = make_mesh(data=8)
+    tx = make_optimizer(cfg.optim, 100)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
+    state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                               jax.random.PRNGKey(1))
+    state = replicate(mesh, state)
+    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    ds = build_dataset(cfg, "train")
+    it = DevicePrefetcher(ds.iter_batches(GLOBAL_BATCH, shuffle=True, seed=7),
+                          mesh, global_batch_size=GLOBAL_BATCH)
+    state, metrics = train_step(state, next(iter(it)))
+    flat = np.concatenate([np.asarray(jax.device_get(x)).ravel()
+                           for x in jax.tree_util.tree_leaves(state.params)])
+    return flat, float(jax.device_get(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    port = _free_port()
+    worker = os.path.join(_HERE, "_mh_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), "2", str(port),
+                          str(tmp_path)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    ref_params, ref_loss = _single_process_reference()
+    for pid in range(2):
+        blob = np.load(tmp_path / f"p{pid}.npz")
+        assert blob["loss"] == pytest.approx(ref_loss, rel=1e-5), \
+            f"process {pid} loss diverged"
+        np.testing.assert_allclose(
+            blob["params"], ref_params, rtol=2e-5, atol=1e-6,
+            err_msg=f"process {pid} params diverged from single-process run")
+
+
+class TestProcessSlicing:
+    """In-process unit checks of the multi-host batch slicing contract."""
+
+    def test_slices_partition_the_global_batch(self):
+        cfg = load_config("configs/deepio_synth.yaml")
+        ds = build_dataset(cfg, "train")
+        full = next(iter(ds.iter_batches(GLOBAL_BATCH, shuffle=True, seed=3)))
+        parts = [
+            next(iter(ds.iter_batches(GLOBAL_BATCH, shuffle=True, seed=3,
+                                      process_index=i, process_count=2)))
+            for i in range(2)
+        ]
+        for k in full:
+            if k == "meta":
+                continue
+            merged = np.concatenate([p[k] for p in parts], axis=0)
+            np.testing.assert_array_equal(merged, full[k])
+
+    def test_indivisible_batch_raises(self):
+        cfg = load_config("configs/deepio_synth.yaml")
+        ds = build_dataset(cfg, "train")
+        with pytest.raises(ValueError, match="not divisible"):
+            next(iter(ds.iter_batches(9, process_index=0, process_count=2)))
+
+    def test_no_drop_last_raises_multiproc(self):
+        cfg = load_config("configs/deepio_synth.yaml")
+        ds = build_dataset(cfg, "train")
+        with pytest.raises(ValueError, match="drop_last"):
+            next(iter(ds.iter_batches(8, drop_last=False,
+                                      process_index=0, process_count=2)))
