@@ -53,6 +53,13 @@ def main():
     raws = [_raw_batch(cfg, B, seed=s) for s in range(3)]
     sharded = [shard_batch(mesh, r) for r in raws]
 
+    # Keep an undonated copy of the params for the standalone stages (the
+    # full-step loop donates state buffers).
+    import jax.numpy as _jnp
+    keep_params = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))(
+        state.params)
+    keep_stats = state.batch_stats
+
     # 1) full step
     st = state_r
 
@@ -94,14 +101,14 @@ def main():
 
     def fwdbwd_fn(apply_fn):
         def loss_of(params, mb, key):
-            variables = {"params": params, **({"batch_stats": state.batch_stats}
-                                              if state.batch_stats else {})}
+            variables = {"params": params, **({"batch_stats": keep_stats}
+                                              if keep_stats else {})}
             out = apply_fn(variables, mb, key)
             return out
         grad = jax.jit(jax.value_and_grad(loss_of))
 
         def run(mb):
-            v, g = grad(state.params, mb, jax.random.PRNGKey(2))
+            v, g = grad(keep_params, mb, jax.random.PRNGKey(2))
             return v
         return run
 

@@ -131,6 +131,14 @@ class DatasetConfig:
     # synthetic fixture mode for CI / benches without KITTI on disk
     synthetic: bool = False
     synthetic_frames: int = 64
+    # SemanticKITTI-format per-point segmentation labels for PointSeg
+    # pretraining: <labels-path>/<drive-name>/<frame>.label (uint32 per
+    # point, low 16 bits = semantic id). Empty = geometric pseudo-labels.
+    labels_path: str = ""
+    # optional raw-id -> train-id remap (SemanticKITTI "learning map");
+    # ids not listed map to 0 (unlabeled).
+    label_map: Dict[int, int] = field(default_factory=dict)
+    labels_num_classes: int = 20
 
     @property
     def effective_combinations(self) -> Tuple[Tuple[int, int], ...]:
@@ -200,6 +208,10 @@ class DatasetConfig:
             augment_yaw=bool(_get(d, "augment-yaw", False)),
             synthetic=bool(_get(d, "synthetic", False)),
             synthetic_frames=int(_get(d, "synthetic-frames", 64)),
+            labels_path=str(_get(d, "labels-path", "")),
+            label_map={int(k): int(v)
+                       for k, v in (_get(d, "label-map", {}) or {}).items()},
+            labels_num_classes=int(_get(d, "labels-num-classes", 20)),
         )
 
 
@@ -229,6 +241,10 @@ class LidarFeatConfig:
     h_stride: int = 1
     w_stride: int = 2   # stem azimuth stride (2 = SqueezeSeg default)
     se: bool = True
+    # EL/ASPP bottleneck width (0 = classic full-width context layer; >0
+    # inserts 1x1 squeeze/expand around the dilated pyramid, ~10x fewer
+    # FLOPs at 512 wide — models/blocks.py::ASPP).
+    el_squeeze: int = 0
 
     @staticmethod
     def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
@@ -246,6 +262,7 @@ class LidarFeatConfig:
             h_stride=int(_get(d, "h-stride", 1)),
             w_stride=int(_get(d, "w-stride", 2)),
             se=bool(_get(d, "se", True)),
+            el_squeeze=int(_get(d, "el-squeeze", 0)),
         )
 
 

@@ -50,15 +50,20 @@ def predict_drive(cfg: Config, eval_step, state, mesh, drive: Drive,
     dq_out = np.full((n_pairs, 4), np.nan, np.float32)
 
     def batches():
+        # Thread-parallel item assembly: stride-1 eval windows make this the
+        # heaviest host path (a 4,500-frame drive = 4,500 window builds);
+        # same pool strategy as WindowDataset.iter_batches.
+        from concurrent.futures import ThreadPoolExecutor
+
         idxs = list(range(len(ds)))
-        for b0 in range(0, len(idxs), bs):
-            sel = idxs[b0:b0 + bs]
-            pad = bs - len(sel)
-            items = [ds.get(i) for i in sel]
-            if pad:
-                items.extend(items[-1:] * pad)
-            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-            yield batch
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for b0 in range(0, len(idxs), bs):
+                sel = idxs[b0:b0 + bs]
+                pad = bs - len(sel)
+                items = list(pool.map(ds.get, sel))
+                if pad:
+                    items.extend(items[-1:] * pad)
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     starts_done = 0
     for batch in DevicePrefetcher(batches(), mesh, depth=2):

@@ -101,14 +101,38 @@ class FireDeconv(nn.Module):
 
 class ASPP(nn.Module):
     """Atrous spatial pyramid "enlargement layer" (PointSeg's EL block):
-    parallel dilated 3x3 branches + 1x1, summed."""
+    parallel dilated 3x3 branches + 1x1, summed.
+
+    ``squeeze > 0`` inserts a 1x1 reduction before the dilated pyramid and
+    a 1x1 expansion after (DeepLab-style bottlenecked ASPP). Same
+    receptive-field pyramid, ~10x fewer FLOPs at 512 wide: the classic
+    full-width EL layer is 82% of the lidar tower's FLOPs (three 512->512
+    dilated 3x3 convs — docs/performance.md round-2 audit), which no MXU
+    schedule can hide. squeeze=0 keeps the full-width form.
+    """
 
     features: int
     rates: Tuple[int, ...] = (1, 2, 4)
+    squeeze: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.squeeze > 0:
+            s = nn.Conv(self.squeeze, (1, 1), padding="SAME",
+                        dtype=self.dtype, name="squeeze")(x)
+            s = nn.relu(s)
+            outs = [nn.Conv(self.squeeze, (1, 1), padding="SAME",
+                            dtype=self.dtype)(s)]
+            for r in self.rates:
+                outs.append(
+                    nn.Conv(self.squeeze, (3, 3), padding="SAME",
+                            kernel_dilation=(r, r), dtype=self.dtype)(s)
+                )
+            y = nn.relu(jnp.concatenate(outs, axis=-1))
+            y = nn.Conv(self.features, (1, 1), padding="SAME",
+                        dtype=self.dtype, name="expand")(y)
+            return nn.relu(y)
         outs = [nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.dtype)(x)]
         for r in self.rates:
             outs.append(

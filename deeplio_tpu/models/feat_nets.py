@@ -45,12 +45,14 @@ class LidarPointSegFeat(nn.Module):
     h_stride: int = 1
     w_stride: int = 2
     se: bool = True
+    el_squeeze: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         net = PointSegNet(part=self.part, dtype=self.dtype,
                           axis_name=self.axis_name, with_se=self.se,
                           h_stride=self.h_stride, w_stride=self.w_stride,
+                          el_squeeze=self.el_squeeze,
                           name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.

@@ -32,6 +32,7 @@ class PointSegEncoder(nn.Module):
     with_se: bool = True
     h_stride: int = 1  # 2 = halve laser rows in the stem (TPU fast path)
     w_stride: int = 2  # stem azimuth stride (4 = extra-fast TPU path)
+    el_squeeze: int = 0  # >0: bottlenecked EL/ASPP (see blocks.ASPP)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -59,7 +60,7 @@ class PointSegEncoder(nn.Module):
         f7 = Fire(48, 192, 192, self.use_bn, self.dtype, ax)(f6, train)
         f8 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f7, train)
         f9 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f8, train)
-        el = ASPP(512, dtype=self.dtype)(f9)                # context layer
+        el = ASPP(512, squeeze=self.el_squeeze, dtype=self.dtype)(f9)
 
         skips = (c1, f3, f5)  # W/2, W/4, W/8 grids
         return el, skips
@@ -99,12 +100,14 @@ class PointSegNet(nn.Module):
     with_se: bool = True
     h_stride: int = 1
     w_stride: int = 2
+    el_squeeze: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
                                       self.with_se, self.h_stride,
-                                      self.w_stride, name="encoder")(x, train)
+                                      self.w_stride, self.el_squeeze,
+                                      name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat
         dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)

@@ -57,7 +57,8 @@ def _make_lidar_net(cfg: ModelConfig, dtype, axis_name):
         return LidarPointSegFeat(
             feature_size=lc.feature_size, part=lc.part, dropout=lc.dropout,
             dtype=dtype, axis_name=axis_name, h_stride=lc.h_stride,
-            w_stride=lc.w_stride, se=lc.se, name="lidar_feat")
+            w_stride=lc.w_stride, se=lc.se, el_squeeze=lc.el_squeeze,
+            name="lidar_feat")
     if lc.name == "lidar-feat-simple-0":
         return LidarSimpleFeat0(
             feature_size=lc.feature_size, base_channels=lc.base_channels,

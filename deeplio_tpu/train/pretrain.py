@@ -7,10 +7,15 @@ per-pixel labels with masked cross-entropy, then snapshots ONLY the encoder
 subtree in the exact layout ``load_pointseg_backbone`` grafts into a
 DeepLO/DeepLIO model.
 
-Labels: with real KITTI + SemanticKITTI-style labels on disk a drive can
-supply them; for the hermetic path we derive geometric pseudo-labels from
-the projected image itself (ground / structure / empty by height), which
-exercises the full pipeline end-to-end without external data.
+Labels, in priority order:
+  1. real SemanticKITTI-format label files when ``datasets.labels-path``
+     is set (``KittiRawDrive.labels``), optionally remapped through
+     ``datasets.label-map``. The label image is produced by a SECOND
+     projection pass with per-point labels riding the remission payload
+     slot — winner selection depends only on xyz+valid, so the label at
+     each pixel belongs to exactly the point whose channels fill it;
+  2. geometric pseudo-labels from the projection itself (ground /
+     structure / empty by height) — the hermetic path needing no data.
 """
 
 from __future__ import annotations
@@ -43,9 +48,11 @@ def geometric_labels(img5: jax.Array, mask: jax.Array) -> jax.Array:
     return lab
 
 
-def masked_xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Per-pixel cross-entropy; 'empty' pixels (label 0) weighted down."""
-    onehot = jax.nn.one_hot(labels, NUM_CLASSES)
+def masked_xent(logits: jax.Array, labels: jax.Array,
+                num_classes: int = NUM_CLASSES) -> jax.Array:
+    """Per-pixel cross-entropy; 'empty'/unlabeled pixels (label 0)
+    weighted down."""
+    onehot = jax.nn.one_hot(labels, num_classes)
     ce = optax.softmax_cross_entropy(logits, onehot)
     w = jnp.where(labels == 0, 0.05, 1.0)
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -59,53 +66,84 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
 
     log = get_app_logger()
     ds = cfg.datasets
+    use_real = bool(ds.labels_path)
+    num_classes = ds.labels_num_classes if use_real else NUM_CLASSES
+    label_lut = None
+    if use_real and ds.label_map:
+        label_lut = np.zeros(1 << 16, np.int32)
+        for k, v in ds.label_map.items():
+            label_lut[k] = v
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
     # The odometry encoder consumes PAIR-stacked images (2C channels); the
     # segmentation pretrainer must feed the same width so conv kernels
     # transfer. We duplicate the single frame (a standing-still pair).
-    net = PointSegNet(part="encoder+decoder", num_classes=NUM_CLASSES,
+    net = PointSegNet(part="encoder+decoder", num_classes=num_classes,
                       dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
                       else jnp.float32)
 
     drives = build_drives(cfg, "train")
     rng = np.random.default_rng(seed)
 
-    def sample_batch() -> Tuple[np.ndarray, np.ndarray]:
-        pts, vld = [], []
+    def sample_batch() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(points, valid, point_labels); labels all-zero when pseudo."""
+        pts, vld, labs = [], [], []
         for _ in range(batch_size):
             d = drives[rng.integers(len(drives))]
-            p, v = d.points(int(rng.integers(len(d))))
+            fi = int(rng.integers(len(d)))
+            p, v = d.points(fi)
+            lab = (d.labels(fi, ds.labels_path)
+                   if use_real and hasattr(d, "labels") else None)
+            if use_real and lab is None:
+                raise FileNotFoundError(
+                    f"labels-path set but no label file for {d.name} "
+                    f"frame {fi} under {ds.labels_path}")
+            if lab is not None and label_lut is not None:
+                lab = label_lut[np.clip(lab, 0, (1 << 16) - 1)]
+            labs.append(np.zeros(p.shape[0], np.int32) if lab is None else lab)
             pts.append(p)
             vld.append(v)
-        return np.stack(pts), np.stack(vld)
+        return np.stack(pts), np.stack(vld), np.stack(labs)
 
     proj_cfg = ds.projection
 
     @jax.jit
-    def project(pts, vld):
+    def project(pts, vld, point_labels):
         img, mask = projector(pts, vld)
         x = jnp.concatenate([img, img], axis=-1)  # pair-width input
-        # Labels come from the raw (unnormalized, fixed-order) projection.
+        # Raw (unnormalized, fixed-order) projection for label derivation.
         img5, mask5 = project_batch(pts, vld, proj_cfg.height, proj_cfg.width,
                                     proj_cfg.fov_up_deg, proj_cfg.fov_down_deg,
                                     packed=proj_cfg.packed)
+        if use_real:
+            # Second pass with the label riding the remission payload slot:
+            # winners depend only on xyz+valid, so pixel labels belong to
+            # exactly the points that filled the image.
+            pts_lab = pts.at[..., 3].set(point_labels.astype(pts.dtype))
+            imgl, _ = project_batch(pts_lab, vld, proj_cfg.height,
+                                    proj_cfg.width, proj_cfg.fov_up_deg,
+                                    proj_cfg.fov_down_deg, packed=False)
+            lab = jnp.round(imgl[..., 3]).astype(jnp.int32)
+            lab = jnp.where(mask5 > 0.5, lab, 0)
+            lab = jnp.clip(lab, 0, num_classes - 1)
+            return x, lab
         return x, geometric_labels(img5, mask5)
 
-    p0, v0 = sample_batch()
-    x0, _ = project(jnp.asarray(p0), jnp.asarray(v0))
+    p0, v0, l0 = sample_batch()
+    x0, _ = project(jnp.asarray(p0), jnp.asarray(v0), jnp.asarray(l0))
     variables = net.init(jax.random.PRNGKey(seed), x0, train=False)
     tx = optax.adam(lr)
     opt_state = tx.init(variables["params"])
 
     @jax.jit
-    def step(params, batch_stats, opt_state, pts, vld):
-        x, labels = project(pts, vld)
+    def step(params, batch_stats, opt_state, pts, vld, labs):
+        x, labels = project(pts, vld, labs)
 
         def loss_fn(p):
             logits, mut = net.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"])
-            return masked_xent(logits, labels), (mut["batch_stats"], logits)
+            return (masked_xent(logits, labels, num_classes),
+                    (mut["batch_stats"], logits))
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -118,9 +156,10 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
     batch_stats = variables["batch_stats"]
     loss = acc = None
     for k in range(steps):
-        pts, vld = sample_batch()
+        pts, vld, labs = sample_batch()
         params, batch_stats, opt_state, loss, acc = step(
-            params, batch_stats, opt_state, jnp.asarray(pts), jnp.asarray(vld))
+            params, batch_stats, opt_state, jnp.asarray(pts),
+            jnp.asarray(vld), jnp.asarray(labs))
         if k % 20 == 0:
             log.info("pointseg pretrain step %d loss %.4f acc %.3f",
                      k, float(jax.device_get(loss)), float(jax.device_get(acc)))
