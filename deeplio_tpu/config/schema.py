@@ -131,6 +131,9 @@ class DatasetConfig:
     # synthetic fixture mode for CI / benches without KITTI on disk
     synthetic: bool = False
     synthetic_frames: int = 64
+    # drives per split (train seeds 0.., val seeds 100.., test seeds 200..)
+    synthetic_train_drives: int = 2
+    synthetic_eval_drives: int = 1
     # SemanticKITTI-format per-point segmentation labels for PointSeg
     # pretraining: <labels-path>/<drive-name>/<frame>.label (uint32 per
     # point, low 16 bits = semantic id). Empty = geometric pseudo-labels.
@@ -208,6 +211,8 @@ class DatasetConfig:
             augment_yaw=bool(_get(d, "augment-yaw", False)),
             synthetic=bool(_get(d, "synthetic", False)),
             synthetic_frames=int(_get(d, "synthetic-frames", 64)),
+            synthetic_train_drives=int(_get(d, "synthetic-train-drives", 2)),
+            synthetic_eval_drives=int(_get(d, "synthetic-eval-drives", 1)),
             labels_path=str(_get(d, "labels-path", "")),
             label_map={int(k): int(v)
                        for k, v in (_get(d, "label-map", {}) or {}).items()},
@@ -378,12 +383,19 @@ class OptimConfig:
     lr: float = 1e-4
     weight_decay: float = 0.0
     momentum: float = 0.9      # sgd only
-    # scheduler: none | step | cosine
+    # scheduler: none | step | cosine | plateau
     scheduler: str = "none"
     step_size: int = 20        # epochs per decay (step)
     gamma: float = 0.5
     warmup_steps: int = 0
     grad_clip: float = 0.0     # 0 = off
+    # plateau scheduler (torch ReduceLROnPlateau semantics, applied at
+    # validation time by the trainer): reduce lr by gamma after `patience`
+    # validations without improvement; never below min_lr.
+    patience: int = 3
+    min_lr: float = 0.0
+    # minimum absolute val-loss improvement that counts (torch `threshold`)
+    threshold: float = 1e-4
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "OptimConfig":
@@ -400,6 +412,9 @@ class OptimConfig:
             gamma=float(_get(sched, "gamma", 0.5)),
             warmup_steps=int(_get(sched, "warmup-steps", 0)),
             grad_clip=float(_get(d, "grad-clip", 0.0)),
+            patience=int(_get(sched, "patience", 3)),
+            min_lr=float(_get(sched, "min-lr", 0.0)),
+            threshold=float(_get(sched, "threshold", 1e-4)),
         )
 
 
@@ -416,6 +431,11 @@ class TrainConfig:
     # device mesh: data-parallel size (-1 = all local devices)
     data_parallel: int = -1
     prefetch: int = 2
+    # epoch-level projection cache: project every frame ONCE into an
+    # on-disk f16 memmap under <workdir>/proj_cache; later epochs stream
+    # images and the compiled step skips projection (data/proj_cache.py).
+    # Incompatible with augment-yaw (which rotates raw points).
+    cache_projections: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainConfig":
@@ -430,6 +450,7 @@ class TrainConfig:
             keep_checkpoints=int(_get(d, "keep-checkpoints", 3)),
             data_parallel=int(_get(d, "data-parallel", -1)),
             prefetch=int(_get(d, "prefetch", 2)),
+            cache_projections=bool(_get(d, "cache-projections", False)),
         )
 
 
@@ -488,12 +509,18 @@ class Config:
         )
         model.validate()
 
+        train = TrainConfig.from_dict(_get(d, "train", {}) or {})
+        if train.cache_projections and datasets.augment_yaw:
+            raise ConfigError(
+                "cache-projections is incompatible with augment-yaw: the "
+                "yaw augmentation rotates raw points, which cached images "
+                "bypass. Disable one of them.")
         return Config(
             datasets=datasets,
             model=model,
             loss=LossConfig.from_dict(_get(d, "losses", {}) or {}),
             optim=OptimConfig.from_dict(_get(d, "optimizer", {}) or {}),
-            train=TrainConfig.from_dict(_get(d, "train", {}) or {}),
+            train=train,
             raw=dict(d),
         )
 

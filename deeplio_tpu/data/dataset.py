@@ -26,10 +26,14 @@ from deeplio_tpu.data.drives import Drive, KittiRawDrive, SyntheticDrive
 
 class WindowDataset:
     def __init__(self, ds_cfg: DatasetConfig, drives: Sequence[Drive],
-                 with_points: bool = True):
+                 with_points: bool = True, image_cache=None):
+        """image_cache: a ``ProjectionCache`` — items then carry
+        pre-projected f16 ``images`` [S,H,W,C] instead of raw points and
+        the train step skips its projection stage (data/proj_cache.py)."""
         self.cfg = ds_cfg
         self.drives = list(drives)
-        self.with_points = with_points
+        self.with_points = with_points and image_cache is None
+        self.image_cache = image_cache
         S = ds_cfg.sequence_size
         stride = max(ds_cfg.window_stride, 1)
         self.index: List[Tuple[int, int]] = []
@@ -53,6 +57,9 @@ class WindowDataset:
             pts, vld = zip(*[d.points(s + k) for k in range(S)])
             item["points"] = np.stack(pts)            # [S, N, 4]
             item["points_valid"] = np.stack(vld)      # [S, N]
+        elif self.image_cache is not None:
+            item["images"] = np.asarray(
+                self.image_cache.images(d, s, s + S))  # [S, H, W, C] f16
 
         imu = np.zeros((P, T, 6), np.float32)
         imu_mask = np.zeros((P, T), np.float32)
@@ -133,7 +140,12 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
     """
     ds = cfg.datasets
     if ds.synthetic:
-        seeds = {"train": (0, 1), "validation": (100,), "test": (200,)}[split]
+        seeds = {
+            "train": tuple(range(ds.synthetic_train_drives)),
+            "validation": tuple(100 + i
+                                for i in range(ds.synthetic_eval_drives)),
+            "test": tuple(200 + i for i in range(ds.synthetic_eval_drives)),
+        }[split]
         return [SyntheticDrive(n_frames=ds.synthetic_frames,
                                max_points=ds.projection.max_points, seed=sd)
                 for sd in seeds]
@@ -154,7 +166,7 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
     return drives
 
 
-def build_dataset(cfg: Config, split: str) -> WindowDataset:
+def build_dataset(cfg: Config, split: str, image_cache=None) -> WindowDataset:
     with_points = cfg.model.arch in ("deeplo", "deeplio")
     return WindowDataset(cfg.datasets, build_drives(cfg, split),
-                         with_points=with_points)
+                         with_points=with_points, image_cache=image_cache)

@@ -25,7 +25,7 @@ from deeplio_tpu.losses import init_loss_params
 from deeplio_tpu.models import init_model
 from deeplio_tpu.parallel.mesh import make_mesh, replicate
 from deeplio_tpu.train.checkpoint import CheckpointManager, load_pointseg_backbone
-from deeplio_tpu.train.optim import make_optimizer
+from deeplio_tpu.train.optim import PlateauController, make_optimizer
 from deeplio_tpu.train.state import create_train_state
 from deeplio_tpu.train.step import build_train_step
 from deeplio_tpu.utils import AverageMeter, get_app_logger
@@ -101,9 +101,25 @@ class Trainer:
                 f"batch-size {cfg.train.batch_size} not divisible by "
                 f"data-parallel size {n_data}")
 
-        self.train_ds = None if eval_only else build_dataset(cfg, "train")
+        image_cache = None
+        if (cfg.train.cache_projections and not eval_only
+                and cfg.model.arch in ("deeplo", "deeplio")):
+            from deeplio_tpu.data.dataset import build_drives
+            from deeplio_tpu.data.proj_cache import ProjectionCache
+            image_cache = ProjectionCache(
+                os.path.join(workdir, "proj_cache"), cfg.datasets)
+            drives = build_drives(cfg, "train")
+            try:
+                drives += build_drives(cfg, "validation")
+            except (KeyError, FileNotFoundError):
+                pass
+            image_cache.ensure(drives)
+
+        self.train_ds = None if eval_only else build_dataset(
+            cfg, "train", image_cache=image_cache)
         try:
-            self.val_ds = build_dataset(cfg, "validation")
+            self.val_ds = build_dataset(cfg, "validation",
+                                        image_cache=image_cache)
         except (KeyError, FileNotFoundError):
             self.val_ds = None
         if not eval_only and len(self.train_ds) == 0:
@@ -151,6 +167,7 @@ class Trainer:
 
         self.metrics = (MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
                         if self.primary else _NullMetrics())
+        self.plateau = PlateauController(cfg.optim)
         self.best_val = float("inf")
         # Host-side mirrors: device_get of state.step every iteration would
         # force a per-step host sync and defeat async dispatch.
@@ -211,6 +228,14 @@ class Trainer:
                 else:
                     self.metrics.write(self._host_step, "val", val)
                     self.log.info("epoch %d val loss %.4f", epoch, val["loss"])
+                    if self.plateau.enabled:
+                        old_lr = self.plateau.lr
+                        new_opt = self.plateau.observe(val["loss"],
+                                                       self.state.opt_state)
+                        if self.plateau.lr != old_lr:
+                            self.state = self.state.replace(opt_state=new_opt)
+                            self.log.info("plateau: lr %.2e -> %.2e",
+                                          old_lr, self.plateau.lr)
                     # val metrics are psum-identical across processes,
                     # so this branch decides the same way on every host.
                     if val["loss"] < self.best_val:

@@ -29,18 +29,93 @@ def make_schedule(cfg: OptimConfig, steps_per_epoch: int = 1000):
 
 def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1000
                    ) -> optax.GradientTransformation:
-    sched = make_schedule(cfg, steps_per_epoch)
-    if cfg.name == "adam":
-        if cfg.weight_decay > 0:
-            tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
-        else:
-            tx = optax.adam(sched)
-    elif cfg.name == "sgd":
-        tx = optax.sgd(sched, momentum=cfg.momentum)
-        if cfg.weight_decay > 0:
-            tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    if cfg.scheduler == "plateau":
+        # Stateful-on-val-loss scheduling can't be a pure step schedule;
+        # the lr lives in opt_state.hyperparams (inject_hyperparams) and
+        # the trainer's PlateauController rewrites it at validation time —
+        # torch ReduceLROnPlateau semantics (SURVEY.md §2.5 scheduler row).
+        sched = cfg.lr
     else:
+        sched = make_schedule(cfg, steps_per_epoch)
+
+    def base_tx(learning_rate):
+        if cfg.name == "adam":
+            if cfg.weight_decay > 0:
+                return optax.adamw(learning_rate,
+                                   weight_decay=cfg.weight_decay)
+            return optax.adam(learning_rate)
+        if cfg.name == "sgd":
+            tx = optax.sgd(learning_rate, momentum=cfg.momentum)
+            if cfg.weight_decay > 0:
+                tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                                 tx)
+            return tx
         raise ValueError(f"unknown optimizer '{cfg.name}' (want adam|sgd)")
+
+    if cfg.scheduler == "plateau":
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: base_tx(learning_rate))(learning_rate=sched)
+    else:
+        tx = base_tx(sched)
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau over the injected lr hyperparam.
+
+    The trainer calls :meth:`observe` after every validation; when the
+    val loss hasn't improved for ``patience`` observations the lr leaf in
+    ``opt_state.hyperparams`` is scaled by ``gamma`` (floored at
+    ``min_lr``) — exactly torch's scheduler contract, applied to the
+    replicated device state.
+    """
+
+    def __init__(self, cfg: OptimConfig):
+        self.enabled = cfg.scheduler == "plateau"
+        self.gamma = cfg.gamma
+        self.patience = cfg.patience
+        self.min_lr = cfg.min_lr
+        self.threshold = cfg.threshold
+        self.best = float("inf")
+        self.bad = 0
+        self.lr = cfg.lr
+
+    def observe(self, val_loss: float, opt_state):
+        """Returns (possibly updated) opt_state."""
+        if not self.enabled:
+            return opt_state
+        if val_loss < self.best - self.threshold:
+            self.best = val_loss
+            self.bad = 0
+            return opt_state
+        self.bad += 1
+        if self.bad < self.patience:
+            return opt_state
+        self.bad = 0
+        new_lr = max(self.lr * self.gamma, self.min_lr)
+        if new_lr == self.lr:
+            return opt_state
+        self.lr = new_lr
+        return _set_injected_lr(opt_state, new_lr)
+
+
+def _set_injected_lr(opt_state, new_lr: float):
+    """Rewrite the learning_rate leaf of an InjectHyperparamsState found
+    anywhere in a (possibly chained) opt_state tuple."""
+    import jax.numpy as jnp
+
+    if hasattr(opt_state, "hyperparams") and \
+            "learning_rate" in opt_state.hyperparams:
+        hp = dict(opt_state.hyperparams)
+        old = hp["learning_rate"]
+        hp["learning_rate"] = jnp.asarray(new_lr, dtype=old.dtype)
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, tuple):
+        parts = [_set_injected_lr(s, new_lr) for s in opt_state]
+        # NamedTuple states reconstruct positionally; plain tuples don't.
+        if hasattr(opt_state, "_fields"):
+            return type(opt_state)(*parts)
+        return tuple(parts)
+    return opt_state

@@ -39,10 +39,17 @@ Batch = Dict[str, jax.Array]
 
 
 def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
-    """Raw points/imu -> the model zoo's batch dict (in-graph)."""
+    """Raw points/imu -> the model zoo's batch dict (in-graph).
+
+    When the batch already carries per-frame ``images`` (projection cache,
+    data/proj_cache.py) the projection stage is skipped.
+    """
     mb: Batch = {}
     if cfg.model.arch in ("deeplo", "deeplio"):
-        imgs, _ = projector(raw["points"], raw["points_valid"])  # [B,S,H,W,C]
+        if "images" in raw:
+            imgs = raw["images"].astype(jnp.float32)             # [B,S,H,W,C]
+        else:
+            imgs, _ = projector(raw["points"], raw["points_valid"])
         pairs = []
         for (i, j) in cfg.datasets.effective_combinations:
             pairs.append(jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1))
