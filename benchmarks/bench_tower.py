@@ -58,6 +58,11 @@ def run_variant(name: str, pairs: int = 128, iters: int = 8,
 
 def main():
     run_variant("baseline B=128")
+    run_variant("s2d stem", stem="s2d")
+    run_variant("fused fire", fire="fused")
+    run_variant("s2d + fused", stem="s2d", fire="fused")
+    run_variant("s2d + fused + bf16 imgs", stem="s2d", fire="fused",
+                in_dtype=np.dtype(jnp.bfloat16))
     run_variant("B=256", pairs=256)
     run_variant("no BN", use_bn=False)
     run_variant("no SE", with_se=False)

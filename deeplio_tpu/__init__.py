@@ -31,3 +31,35 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_jit_cache() -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    XLA compiles of the fused train step take minutes on the remote TPU
+    backend; the persistent cache makes every CLI/bench/test re-run after
+    the first load its executables from disk. Opt-out/override with
+    DEEPLIO_JAX_CACHE (empty string disables); a user-set
+    ``jax_compilation_cache_dir`` is respected.
+    """
+    import os
+
+    path = os.environ.get("DEEPLIO_JAX_CACHE")
+    if path == "":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        if path is None:
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_persistent_jit_cache()

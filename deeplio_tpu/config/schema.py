@@ -250,11 +250,22 @@ class LidarFeatConfig:
     # inserts 1x1 squeeze/expand around the dilated pyramid, ~10x fewer
     # FLOPs at 512 wide — models/blocks.py::ASPP).
     el_squeeze: int = 0
+    # stem="s2d": space-to-depth stem (models/pointseg.py), fire="fused":
+    # single-conv Fire modules (models/blocks.py) — TPU bandwidth knobs;
+    # classic forms remain the reference-shaped defaults.
+    stem: str = "classic"
+    fire: str = "classic"
 
     @staticmethod
     def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
         bypass = bool(_get(d, "bypass", False))
         default_part = "encoder+decoder" if bypass else "encoder"
+        stem = str(_get(d, "stem", "classic"))
+        fire = str(_get(d, "fire", "classic"))
+        if stem not in ("classic", "s2d"):
+            raise ConfigError(f"stem must be classic|s2d, got {stem!r}")
+        if fire not in ("classic", "fused"):
+            raise ConfigError(f"fire must be classic|fused, got {fire!r}")
         return LidarFeatConfig(
             name=name,
             part=str(_get(d, "part", default_part)),
@@ -268,6 +279,8 @@ class LidarFeatConfig:
             w_stride=int(_get(d, "w-stride", 2)),
             se=bool(_get(d, "se", True)),
             el_squeeze=int(_get(d, "el-squeeze", 0)),
+            stem=stem,
+            fire=fire,
         )
 
 

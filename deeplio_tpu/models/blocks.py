@@ -57,7 +57,17 @@ class SELayer(nn.Module):
 
 
 class Fire(nn.Module):
-    """Fire module: 1x1 squeeze -> parallel 1x1 + 3x3 expands, concat."""
+    """Fire module: 1x1 squeeze -> parallel 1x1 + 3x3 expands, concat.
+
+    ``fused=True`` replaces the three-conv factorization with ONE 3x3
+    ConvBN to ``expand1 + expand3`` channels. MEASURED AND REJECTED for
+    the flagship (benchmarks/bench_tower.py, v5e, B=128: 29.2 -> 56.1 ms
+    fwd+bwd): the deep Fire stages (256-512 ch at W/16) already run near
+    the MXU roofline, so the ~10x FLOPs of the fused form are NOT free —
+    only the shallow stages are bandwidth-bound. Kept as a config knob
+    because the trade flips for thin-channel/wide-image variants. Not
+    weight-compatible with the reference's Fire.
+    """
 
     squeeze: int
     expand1: int
@@ -65,14 +75,28 @@ class Fire(nn.Module):
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.fused:
+            return ConvBN(self.expand1 + self.expand3, (3, 3),
+                          use_bn=self.use_bn, dtype=self.dtype,
+                          axis_name=self.axis_name)(x, train)
         s = ConvBN(self.squeeze, (1, 1), use_bn=self.use_bn, dtype=self.dtype,
                    axis_name=self.axis_name)(x, train)
         e1 = nn.Conv(self.expand1, (1, 1), padding="SAME", dtype=self.dtype)(s)
         e3 = nn.Conv(self.expand3, (3, 3), padding="SAME", dtype=self.dtype)(s)
         return nn.relu(jnp.concatenate([e1, e3], axis=-1))
+
+
+def space_to_depth(x, h: int, w: int):
+    """[B, H, W, C] -> [B, H//h, W//w, h*w*C] block reshape (NHWC)."""
+    b, H, W, c = x.shape
+    assert H % h == 0 and W % w == 0, (H, W, h, w)
+    x = x.reshape(b, H // h, h, W // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, H // h, W // w, h * w * c)
 
 
 class FireDeconv(nn.Module):

@@ -46,6 +46,8 @@ class LidarPointSegFeat(nn.Module):
     w_stride: int = 2
     se: bool = True
     el_squeeze: int = 0
+    stem: str = "classic"
+    fire: str = "classic"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -53,6 +55,7 @@ class LidarPointSegFeat(nn.Module):
                           axis_name=self.axis_name, with_se=self.se,
                           h_stride=self.h_stride, w_stride=self.w_stride,
                           el_squeeze=self.el_squeeze,
+                          stem=self.stem, fire=self.fire,
                           name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.

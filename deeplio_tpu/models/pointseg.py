@@ -20,11 +20,25 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deeplio_tpu.models.blocks import ASPP, ConvBN, Fire, FireDeconv, SELayer
+from deeplio_tpu.models.blocks import (ASPP, ConvBN, Fire, FireDeconv,
+                                       SELayer, space_to_depth)
 
 
 class PointSegEncoder(nn.Module):
-    """Conv stem + Fire stack. Returns (bottleneck, skips)."""
+    """Conv stem + Fire stack. Returns (bottleneck, skips).
+
+    TPU-first knobs (all default to the reference-shaped classic forms;
+    both measured on v5e and left OFF for the flagship — decision records
+    in benchmarks/bench_tower.py and docs/performance.md):
+      * ``stem="s2d"``: space-to-depth the (h_stride, w_stride) block into
+        channels and run a stride-1 2x2 conv instead of a strided 3x3 over
+        the raw C~10 input. Same output grid, equivalent expressive power.
+        Measured NEUTRAL (29.2 -> 29.7 ms tower fwd+bwd at B=128): the
+        transpose materializes the same full-resolution array the strided
+        conv reads, so no traffic is saved.
+      * ``fire="fused"``: single-conv Fire modules — measured 2x WORSE
+        (deep stages are MXU-bound; see blocks.Fire).
+    """
 
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -33,33 +47,46 @@ class PointSegEncoder(nn.Module):
     h_stride: int = 1  # 2 = halve laser rows in the stem (TPU fast path)
     w_stride: int = 2  # stem azimuth stride (4 = extra-fast TPU path)
     el_squeeze: int = 0  # >0: bottlenecked EL/ASPP (see blocks.ASPP)
+    stem: str = "classic"  # classic | s2d
+    fire: str = "classic"  # classic | fused
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ax = self.axis_name
+        fused = self.fire == "fused"
+
+        def fire(sq, e1, e3):
+            return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=fused)
+
         # Stem: H/h_stride, W/w_stride.
-        c1 = ConvBN(64, (3, 3), (self.h_stride, self.w_stride),
-                    use_bn=self.use_bn, dtype=self.dtype, axis_name=ax)(x, train)
+        if self.stem == "s2d":
+            xs = space_to_depth(x, self.h_stride, self.w_stride)
+            c1 = ConvBN(64, (2, 2), (1, 1), use_bn=self.use_bn,
+                        dtype=self.dtype, axis_name=ax)(xs, train)
+        else:
+            c1 = ConvBN(64, (3, 3), (self.h_stride, self.w_stride),
+                        use_bn=self.use_bn, dtype=self.dtype,
+                        axis_name=ax)(x, train)
         p1 = nn.max_pool(c1, (3, 3), strides=(1, 2), padding="SAME")  # W/4
 
-        f2 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(p1, train)
-        f3 = Fire(16, 64, 64, self.use_bn, self.dtype, ax)(f2, train)
+        f2 = fire(16, 64, 64)(p1, train)
+        f3 = fire(16, 64, 64)(f2, train)
         if self.with_se:
             f3 = SELayer(dtype=self.dtype)(f3)
         f3 = f3 + f2                                        # residual
         p3 = nn.max_pool(f3, (3, 3), strides=(1, 2), padding="SAME")  # W/8
 
-        f4 = Fire(32, 128, 128, self.use_bn, self.dtype, ax)(p3, train)
-        f5 = Fire(32, 128, 128, self.use_bn, self.dtype, ax)(f4, train)
+        f4 = fire(32, 128, 128)(p3, train)
+        f5 = fire(32, 128, 128)(f4, train)
         if self.with_se:
             f5 = SELayer(dtype=self.dtype)(f5)
         f5 = f5 + f4
         p5 = nn.max_pool(f5, (3, 3), strides=(1, 2), padding="SAME")  # W/16
 
-        f6 = Fire(48, 192, 192, self.use_bn, self.dtype, ax)(p5, train)
-        f7 = Fire(48, 192, 192, self.use_bn, self.dtype, ax)(f6, train)
-        f8 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f7, train)
-        f9 = Fire(64, 256, 256, self.use_bn, self.dtype, ax)(f8, train)
+        f6 = fire(48, 192, 192)(p5, train)
+        f7 = fire(48, 192, 192)(f6, train)
+        f8 = fire(64, 256, 256)(f7, train)
+        f9 = fire(64, 256, 256)(f8, train)
         el = ASPP(512, squeeze=self.el_squeeze, dtype=self.dtype)(f9)
 
         skips = (c1, f3, f5)  # W/2, W/4, W/8 grids
@@ -101,12 +128,15 @@ class PointSegNet(nn.Module):
     h_stride: int = 1
     w_stride: int = 2
     el_squeeze: int = 0
+    stem: str = "classic"
+    fire: str = "classic"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
                                       self.with_se, self.h_stride,
                                       self.w_stride, self.el_squeeze,
+                                      self.stem, self.fire,
                                       name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat

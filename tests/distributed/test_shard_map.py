@@ -16,7 +16,7 @@ from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
 from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
 from deeplio_tpu.train.state import TrainState
 
-pytestmark = pytest.mark.distributed
+pytestmark = [pytest.mark.distributed, pytest.mark.slow]
 
 
 def _setup(n_data: int, seed: int = 0, dropout: float | None = None):

@@ -11,7 +11,7 @@ import pytest
 from deeplio_tpu.cli import test as test_cli
 from deeplio_tpu.cli import train as train_cli
 
-pytestmark = pytest.mark.integration
+pytestmark = [pytest.mark.integration, pytest.mark.slow]
 
 
 def test_train_then_eval_cli(tmp_path):

@@ -12,7 +12,7 @@ import pytest
 from deeplio_tpu.cli import stream as stream_cli
 from deeplio_tpu.cli import train as train_cli
 
-pytestmark = pytest.mark.integration
+pytestmark = [pytest.mark.integration, pytest.mark.slow]
 
 
 def _tiny_yaml(tmp_path, **ds_over):

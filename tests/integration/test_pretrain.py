@@ -12,7 +12,7 @@ from deeplio_tpu.models import init_model
 from deeplio_tpu.train.checkpoint import load_pointseg_backbone
 from deeplio_tpu.train.pretrain import pretrain_pointseg
 
-pytestmark = pytest.mark.integration
+pytestmark = [pytest.mark.integration, pytest.mark.slow]
 
 
 def _tiny_pointseg_cfg():

@@ -13,7 +13,7 @@ from deeplio_tpu.eval import StreamingOdometry, chain_relative_np
 from deeplio_tpu.losses import init_loss_params
 from deeplio_tpu.models import init_model
 
-pytestmark = pytest.mark.integration
+pytestmark = [pytest.mark.integration, pytest.mark.slow]
 
 
 def _tiny_cfg(arch="deeplio"):

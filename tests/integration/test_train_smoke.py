@@ -11,7 +11,7 @@ import pytest
 from deeplio_tpu.config import load_config
 from deeplio_tpu.train import Trainer
 
-pytestmark = pytest.mark.integration
+pytestmark = [pytest.mark.integration, pytest.mark.slow]
 
 
 def _small(cfg, **train_over):

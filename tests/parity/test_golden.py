@@ -16,6 +16,7 @@ from deeplio_tpu.data.drives import SyntheticDrive
 from deeplio_tpu.data.dataset import WindowDataset
 from deeplio_tpu.config import load_config_dict
 from deeplio_tpu.ops import projection as proj
+import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden.json")
 
@@ -55,6 +56,7 @@ def _compute():
     }
 
 
+@pytest.mark.slow
 def test_golden_pipeline_values():
     got = _compute()
     want = json.load(open(GOLDEN))

@@ -10,6 +10,10 @@ from deeplio_tpu.config.schema import ProjectionConfig
 from deeplio_tpu.data.synthetic import synthetic_scan, synthetic_trajectory, synthetic_world
 from deeplio_tpu.ops import projection as proj
 
+# Heavy end-to-end/parity module: excluded from the fast inner loop
+# (`pytest -m "not slow"`); full suite runs everything.
+pytestmark = pytest.mark.slow
+
 H, W = 32, 256
 FU, FD = 3.0, -25.0
 

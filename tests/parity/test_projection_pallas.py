@@ -10,6 +10,10 @@ from jax.experimental.pallas import tpu as pltpu
 from deeplio_tpu.ops import projection as proj
 from deeplio_tpu.ops import projection_pallas as pp
 
+# Heavy end-to-end/parity module: excluded from the fast inner loop
+# (`pytest -m "not slow"`); full suite runs everything.
+pytestmark = pytest.mark.slow
+
 H, W = 16, 128  # small: interpret mode is slow
 N = 2048
 

@@ -27,6 +27,7 @@ def _random_rel(rng, m):
     return dx, dq
 
 
+@pytest.mark.slow
 def test_chain_device_matches_np(rng):
     dx, dq = _random_rel(rng, 50)
     Td = np.asarray(chain_relative(dx, dq))

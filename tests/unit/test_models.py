@@ -50,6 +50,7 @@ def _random_batch(cfg, B=2, seed=0):
             for k, v in b.items()}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["deepio", "deeplo", "deeplio"])
 def test_arch_forward_shapes(arch):
     cfg = _cfg(arch)
@@ -62,6 +63,7 @@ def test_arch_forward_shapes(arch):
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("lidar", ["lidar-feat-simple-0", "lidar-feat-simple-1",
                                    "lidar-feat-pointseg"])
 def test_lidar_variants(lidar):
@@ -71,6 +73,7 @@ def test_lidar_variants(lidar):
     assert x.shape == (2, 2, 3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("imu", ["imu-feat-rnn", "imu-feat-fc"])
 @pytest.mark.parametrize("odom", ["odom-feat-rnn", "odom-feat-fc"])
 def test_imu_odom_variants(imu, odom):
@@ -90,6 +93,7 @@ def test_fusion_kinds(fusion):
     assert has_gate == (fusion == "soft")
 
 
+@pytest.mark.slow
 def test_gradients_flow_and_finite():
     cfg = _cfg("deeplio")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
@@ -110,6 +114,7 @@ def test_gradients_flow_and_finite():
     assert nonzero > len(leaves) * 0.5
 
 
+@pytest.mark.slow
 def test_dropout_active_in_train_mode():
     cfg = _cfg("deepio")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
@@ -133,6 +138,7 @@ def test_pointseg_standalone_segmentation():
     assert logits.shape == (1, 16, 128, 4)
 
 
+@pytest.mark.slow
 def test_jit_forward():
     cfg = _cfg("deeplio")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
@@ -140,3 +146,42 @@ def test_jit_forward():
     f = jax.jit(lambda v, b: model.apply(v, b, train=False))
     x, q = f(variables, batch)
     assert x.shape == (2, 2, 3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stem,fire", [("s2d", "classic"), ("classic", "fused"),
+                                       ("s2d", "fused")])
+def test_pointseg_tpu_variants(stem, fire):
+    """TPU bandwidth knobs (s2d stem / fused Fire) keep the encoder's
+    output grid and stay finite under grad (models/pointseg.py)."""
+    from deeplio_tpu.models.pointseg import PointSegNet
+    ref = PointSegNet(part="encoder", h_stride=2, w_stride=4, el_squeeze=32)
+    var_net = PointSegNet(part="encoder", h_stride=2, w_stride=4,
+                          el_squeeze=32, stem=stem, fire=fire)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 128, 10)).astype(np.float32))
+    vr = ref.init(jax.random.PRNGKey(0), x, train=False)
+    vv = var_net.init(jax.random.PRNGKey(0), x, train=False)
+    out_ref = ref.apply(vr, x, train=False)
+    out_var = var_net.apply(vv, x, train=False)
+    assert out_var.shape == out_ref.shape
+
+    def loss(p):
+        out, _ = var_net.apply({"params": p, "batch_stats": vv["batch_stats"]},
+                               x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(vv["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_config_stem_fire_keys():
+    from deeplio_tpu.config.schema import ConfigError, LidarFeatConfig
+    lc = LidarFeatConfig.from_dict("lidar-feat-pointseg",
+                                   {"stem": "s2d", "fire": "fused"})
+    assert lc.stem == "s2d" and lc.fire == "fused"
+    with pytest.raises(ConfigError):
+        LidarFeatConfig.from_dict("lidar-feat-pointseg", {"stem": "bogus"})
+    with pytest.raises(ConfigError):
+        LidarFeatConfig.from_dict("lidar-feat-pointseg", {"fire": "bogus"})

@@ -14,6 +14,10 @@ from deeplio_tpu.data.dataset import WindowDataset, build_drives
 from deeplio_tpu.data.proj_cache import ProjectionCache, fingerprint
 from deeplio_tpu.ops.projection import make_projector
 
+# Heavy end-to-end/parity module: excluded from the fast inner loop
+# (`pytest -m "not slow"`); full suite runs everything.
+pytestmark = pytest.mark.slow
+
 
 def _cfg():
     cfg = load_config("configs/deeplo_synth.yaml")

@@ -44,6 +44,7 @@ class TestMasking:
         _, f_trunc = m.apply(v, jnp.asarray(x[:, :L]), jnp.ones((B, L)))
         np.testing.assert_allclose(f_masked, f_trunc, atol=1e-6)
 
+    @pytest.mark.slow
     def test_bidirectional_shapes(self, cell, rng):
         B, T, D, H = 2, 6, 4, 8
         x = rng.normal(size=(B, T, D)).astype(np.float32)
