@@ -63,5 +63,41 @@ def main():
     run("stride (1,1) 1x1 kernel C=64", cin=64, kernel=(1, 1), stride=(1, 1))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--wfold" not in sys.argv:
     main()
+
+
+def run_wfold(name, cin=10, in_dtype=np.float32, iters=8):
+    """Stem re-expressed: w-stride-4 windows don't overlap (kernel 3), so
+    slice each 4-column group to its first 3 columns, fold them into
+    channels, and run a (3,1)-kernel (2,1)-stride conv — identical math,
+    different XLA mapping."""
+    conv = nn.Conv(64, (3, 1), (2, 1), padding=((0, 1), (0, 0)),
+                   dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = [jax.device_put(jnp.asarray(
+        rng.normal(size=(B, H, W, cin)).astype(in_dtype)))
+        for _ in range(3)]
+
+    def fold(x):
+        b, h, w, c = x.shape
+        xw = x.reshape(b, h, w // 4, 4, c)[:, :, :, :3, :]
+        return xw.reshape(b, h, w // 4, 3 * c)
+
+    params = conv.init(jax.random.PRNGKey(0),
+                       fold(jnp.zeros((2, H, W, cin), in_dtype)))
+
+    def loss(p, x):
+        y = conv.apply(p, fold(x))
+        y = nn.max_pool(y, (3, 3), strides=(1, 2), padding="SAME")
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.jit(jax.value_and_grad(loss))
+    t = time_fn(lambda x: g(params, x), xs, iters=iters) * 1e3
+    print(f"{name:34s} {t:6.2f} ms", flush=True)
+    return t
+
+
+if __name__ == "__main__" and "--wfold" in sys.argv:
+    run_wfold("wfold stem fwd+bwd")
+    run_wfold("wfold stem bf16 in", in_dtype=np.dtype(jnp.bfloat16))

@@ -255,6 +255,9 @@ class LidarFeatConfig:
     # classic forms remain the reference-shaped defaults.
     stem: str = "classic"
     fire: str = "classic"
+    # pool="cheap": (1,2)-window max pools — the classic 3x3 windows cost
+    # ~2x the tower's convolutions on TPU (models/pointseg.py).
+    pool: str = "classic"
 
     @staticmethod
     def from_dict(name: str, d: Dict[str, Any]) -> "LidarFeatConfig":
@@ -262,10 +265,13 @@ class LidarFeatConfig:
         default_part = "encoder+decoder" if bypass else "encoder"
         stem = str(_get(d, "stem", "classic"))
         fire = str(_get(d, "fire", "classic"))
+        pool = str(_get(d, "pool", "classic"))
         if stem not in ("classic", "s2d"):
             raise ConfigError(f"stem must be classic|s2d, got {stem!r}")
         if fire not in ("classic", "fused"):
             raise ConfigError(f"fire must be classic|fused, got {fire!r}")
+        if pool not in ("classic", "cheap"):
+            raise ConfigError(f"pool must be classic|cheap, got {pool!r}")
         return LidarFeatConfig(
             name=name,
             part=str(_get(d, "part", default_part)),
@@ -281,6 +287,7 @@ class LidarFeatConfig:
             el_squeeze=int(_get(d, "el-squeeze", 0)),
             stem=stem,
             fire=fire,
+            pool=pool,
         )
 
 

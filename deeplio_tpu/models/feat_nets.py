@@ -48,6 +48,7 @@ class LidarPointSegFeat(nn.Module):
     el_squeeze: int = 0
     stem: str = "classic"
     fire: str = "classic"
+    pool: str = "classic"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -55,7 +56,7 @@ class LidarPointSegFeat(nn.Module):
                           axis_name=self.axis_name, with_se=self.se,
                           h_stride=self.h_stride, w_stride=self.w_stride,
                           el_squeeze=self.el_squeeze,
-                          stem=self.stem, fire=self.fire,
+                          stem=self.stem, fire=self.fire, pool=self.pool,
                           name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.

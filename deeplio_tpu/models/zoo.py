@@ -58,7 +58,7 @@ def _make_lidar_net(cfg: ModelConfig, dtype, axis_name):
             feature_size=lc.feature_size, part=lc.part, dropout=lc.dropout,
             dtype=dtype, axis_name=axis_name, h_stride=lc.h_stride,
             w_stride=lc.w_stride, se=lc.se, el_squeeze=lc.el_squeeze,
-            stem=lc.stem, fire=lc.fire,
+            stem=lc.stem, fire=lc.fire, pool=lc.pool,
             name="lidar_feat")
     if lc.name == "lidar-feat-simple-0":
         return LidarSimpleFeat0(
