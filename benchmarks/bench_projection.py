@@ -18,6 +18,7 @@ import numpy as np
 
 from deeplio_tpu.data.synthetic import synthetic_ring_batch
 from deeplio_tpu.ops import projection as proj
+from deeplio_tpu.ops import projection_pallas_ring as _ppr
 
 H, W, FU, FD = 64, 1024, 3.0, -25.0
 N = 131072

@@ -84,7 +84,9 @@ class ProjectionConfig:
     #          scans — pixel index non-decreasing over valid points, see
     #          ops/projection.py::project_batch_ring)
     #        | "sort-sentinel" (round-1 two-sort compaction, kept for parity)
-    #        | "pallas" (fused RMW kernel — see ops/projection_pallas.py).
+    #        | "pallas" (fused RMW kernel — see ops/projection_pallas.py)
+    #        | "pallas-ring" (VMEM-resident Mosaic kernel with O(N)
+    #          movement — ops/projection_pallas_ring.py; ring contract).
     backend: str = "sort"
     # Scans per lax.map chunk inside the batched projector. The kernels'
     # per-scan cost degrades ~2.3x when the whole 144-scan training batch

@@ -392,6 +392,63 @@ def project_batch_sorted(
     return img.reshape(b, H, W, 5), mask.reshape(b, H, W)
 
 
+def _seg_min_scan_tiled(boundary, val, payloads=(), lane=512):
+    """Two-level variant of :func:`_seg_min_scan` — same results, fewer
+    full-width passes.
+
+    Hillis-Steele over [B, N] costs log2(N)=17 rounds each touching all N
+    elements. Reshaping to [B, N/lane, lane] splits the scan into
+    (a) 9 intra-row rounds over the lane axis (the only full-width work),
+    (b) an aggregate combine over the N/lane row summaries (negligible
+    width) with the standard segmented-min monoid, and (c) one broadcast
+    fixup pass applying each row's carry-in to its pre-first-boundary
+    prefix. 10 full-width passes instead of 17 for N=131072.
+
+    Requires N % lane == 0 (projection capacities are powers of two);
+    falls back to the flat scan otherwise.
+    """
+    b, n = val.shape
+    if n % lane or n // lane < 2:
+        return _seg_min_scan(boundary, val, payloads)
+    rrows = n // lane
+    big = jnp.int32(np.iinfo(np.int32).max)
+    shp = (b, rrows, lane)
+    f = boundary.reshape(shp)
+    g = f                                  # real-boundary prefix OR (row-local)
+    m = val.reshape(shp)
+    ps = [p.reshape(shp) for p in payloads]
+    col = jnp.arange(lane, dtype=jnp.int32)
+
+    # (a) intra-row segmented min-scan.
+    for k in range(int(np.log2(lane))):
+        d = 1 << k
+        in_range = col >= d
+        m_prev = jnp.where(in_range, jnp.roll(m, d, axis=-1), big)
+        take = ~f & (m_prev < m)
+        m = jnp.where(take, m_prev, m)
+        ps = [jnp.where(take, jnp.roll(p, d, axis=-1), p) for p in ps]
+        f = f | jnp.where(in_range, jnp.roll(f, d, axis=-1), True)
+        g = g | jnp.where(in_range, jnp.roll(g, d, axis=-1), False)
+
+    # (b) row aggregates -> inclusive segmented scan over the row axis.
+    F = g[..., -1]                              # row contains a boundary
+    M = m[..., -1]                              # row suffix-min since last boundary
+    Ps = [p[..., -1] for p in ps]
+    S_m, S_ps = _seg_min_scan(F, M, Ps)
+    # carry-in for row r = combine of rows < r (exclusive shift; row 0 none).
+    cm = jnp.concatenate([jnp.full((b, 1), big), S_m[:, :-1]], axis=1)
+    cps = [jnp.concatenate([jnp.zeros((b, 1), p.dtype), p[:, :-1]], axis=1)
+           for p in S_ps]
+
+    # (c) fixup: positions before their row's first REAL boundary absorb
+    # the carry when it is strictly smaller (ties keep the later value,
+    # impossible for idx-bearing keys).
+    take = ~g & (cm[..., None] < m)
+    m = jnp.where(take, cm[..., None], m)
+    ps = [jnp.where(take, c[..., None], p) for p, c in zip(ps, cps)]
+    return m.reshape(b, n), [p.reshape(b, n) for p in ps]
+
+
 def project_batch_ring(
     points: jax.Array,
     valid: jax.Array,
@@ -466,7 +523,7 @@ def project_batch_ring(
 
     start = jnp.concatenate(
         [jnp.ones((b, 1), bool), pix[:, 1:] != pix[:, :-1]], axis=1)
-    mins, wch = _seg_min_scan(start, mkey, chans)
+    mins, wch = _seg_min_scan_tiled(start, mkey, chans)
     end = jnp.concatenate(
         [pix[:, 1:] != pix[:, :-1], jnp.ones((b, 1), bool)], axis=1)
 
@@ -621,6 +678,10 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
         if backend == "pallas":
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
             img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
+        elif backend == "pallas-ring":
+            from deeplio_tpu.ops.projection_pallas_ring import (
+                project_batch_ring_pallas)
+            img5, mask = project_batch_ring_pallas(pts, vld, H, W, fu, fd)
         elif backend == "ring":
             img5, mask = project_batch_ring(pts, vld, H, W, fu, fd, payload=pay)
         elif backend == "sort":
@@ -640,7 +701,10 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
         pts = points.reshape((-1, n, 4))
         vld = valid.reshape((-1, n))
         b = pts.shape[0]
-        if chunk > 0 and b > chunk:
+        # The Mosaic ring kernel streams scans through its own grid with
+        # double-buffered block DMA — lax.map chunking would only serialize
+        # pallas_calls around it.
+        if chunk > 0 and b > chunk and backend != "pallas-ring":
             pad = (-b) % chunk
             if pad:
                 pts = jnp.concatenate(

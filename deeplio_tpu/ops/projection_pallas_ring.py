@@ -1,0 +1,346 @@
+"""Pallas TPU ring-projection kernel: VMEM-resident, O(N)-movement.
+
+Reference capability: the reference's numpy spherical projection
+(``deeplio/datasets/kitti.py``, SURVEY.md §2.2) — here as a hand-written
+Mosaic kernel for ring-ordered scans, the latency/throughput successor to
+the XLA roll-based ``projection.project_batch_ring``.
+
+Why a kernel: the XLA ring path is built from Hillis-Steele roll rounds —
+segmented min-scan (17 rounds), rank jump-compaction (17) and MSB
+jump-expansion (16), each round touching every element of every carried
+array (~240 full-array passes; XLA pins them in VMEM but still executes
+every round). This kernel keeps the whole scan in VMEM once and replaces
+the two O(N log N) routing stages with O(N) data movement:
+
+  1. two-level segmented min-scan: 9 intra-row rounds over a [R, 512]
+     view + a [R, 1] row-carry scan + one fixup pass (the same
+     decomposition as ``projection._seg_min_scan_tiled``),
+  2. intra-row rank compaction (9 lane rounds; dest = within-row rank, so
+     displacements are monotone over keeps by construction),
+  3. a sequential per-row loop of dynamic-offset MASKED WINDOW STORES
+     concatenating each row's winners into a pix-sorted compact buffer —
+     one rotated 512-lane store per row instead of log2(N) global rounds,
+  4. per-output-block rank bounds by vectorized counting, one rotated
+     window LOAD per output block, and a single BATCHED 9-round local
+     expansion to pixel slots (a 512-pixel block holds <= 512 winners, so
+     every window is exact).
+
+Semantics are bit-identical to ``project_batch_ring(payload="carry-f16")``
+(same (rq << idx_bits | idx) winner keys, same cummax handling of invalid
+points, same graceful degradation for ring-order violations); the parity
+suite drives both against the sequential numpy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deeplio_tpu.ops.projection import (
+    _idx_key_layout,
+    _pack_f16x2,
+    _unpack_f16x2,
+    spherical_uv,
+)
+
+LANES = 2048         # logical lane width of the [R, LANES] working view;
+                     # wide rows keep the sequential store/gather loops
+                     # short (R + n_pix/LANES iterations dominate overhead)
+LOG_LANES = 11
+SENTINEL = np.int32(2**31 - 1)
+
+
+def _ring_kernel(R: int, OUT_R: int,
+                 pix_ref, key_ref, p1_ref, p2_ref,
+                 okey_ref, op1_ref, op2_ref,
+                 cpix_ref, ckey_ref, cp1_ref, cp2_ref,
+                 spix_ref, skey_ref, s1_ref, s2_ref, meta_ref, wwin_ref):
+    """One scan: [R, LANES] ring-ordered points -> [OUT_R, LANES] pixels."""
+    big = jnp.int32(SENTINEL)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    pix = pix_ref[:]                  # raw: -1 where invalid
+    m = key_ref[:]
+    p1 = p1_ref[:]
+    p2 = p2_ref[:]
+
+    # -- flat cummax: invalid points inherit the previous valid pixel -------
+    # (two-level like every scan here: lane rounds + row carry + fixup; XLA's
+    # reduce-window cummax on the unchunked batch measured 8 ms/step).
+    for k in range(LOG_LANES):
+        d = 1 << k
+        pix = jnp.maximum(pix, jnp.where(lane >= d, pltpu.roll(pix, d, 1),
+                                         -1))
+    rowi0 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rmax = pix[:, LANES - 1:]
+    for k in range(max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0):
+        d = 1 << k
+        rmax = jnp.maximum(rmax, jnp.where(rowi0 >= d,
+                                           pltpu.roll(rmax, d, 0), -1))
+    carry = jnp.where(rowi0 >= 1, pltpu.roll(rmax, 1, 0), -1)
+    pix = jnp.maximum(jnp.maximum(pix, carry), 0)
+
+    # -- run boundaries over the FLAT order ---------------------------------
+    # NOTE: every rolled flag is int32 — Mosaic has no rotate for i1
+    # vectors ("Rotate with non-32-bit data").
+    pix_l1 = pltpu.roll(pix, 1, 1)                     # lane j <- j-1 (wraps)
+    prev_row_last = pltpu.roll(pix_l1, 1, 0)           # row r <- r-1
+    prev = jnp.where(lane == 0, prev_row_last, pix_l1)
+    start = jnp.where((pix != prev) | ((lane == 0) & (row == 0)), 1, 0)
+
+    # -- two-level segmented min-scan (value m, payloads p1 p2) -------------
+    f = start                    # scan bookkeeping flag (origin-filled)
+    g = start                    # REAL-boundary prefix OR (row-local)
+    for k in range(LOG_LANES):
+        d = 1 << k
+        in_range = lane >= d
+        m_prev = jnp.where(in_range, pltpu.roll(m, d, 1), big)
+        f_prev = jnp.where(in_range, pltpu.roll(f, d, 1), 1)
+        g_prev = jnp.where(in_range, pltpu.roll(g, d, 1), 0)
+        take = (f == 0) & (m_prev < m)
+        m = jnp.where(take, m_prev, m)
+        p1 = jnp.where(take, pltpu.roll(p1, d, 1), p1)
+        p2 = jnp.where(take, pltpu.roll(p2, d, 1), p2)
+        f = f | f_prev
+        g = g | g_prev
+
+    # row aggregates at the last lane -> [R, 1] carry scan over rows.
+    F = g[:, LANES - 1:]                      # row has a real boundary
+    M = m[:, LANES - 1:]
+    A1 = p1[:, LANES - 1:]
+    A2 = p2[:, LANES - 1:]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rounds_r = max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0
+    for k in range(rounds_r):
+        d = 1 << k
+        in_range = rowi >= d
+        M_prev = jnp.where(in_range, pltpu.roll(M, d, 0), big)
+        F_prev = jnp.where(in_range, pltpu.roll(F, d, 0), 1)
+        take = (F == 0) & (M_prev < M)
+        M = jnp.where(take, M_prev, M)
+        A1 = jnp.where(take, pltpu.roll(A1, d, 0), A1)
+        A2 = jnp.where(take, pltpu.roll(A2, d, 0), A2)
+        F = F | F_prev
+    # carry-in for row r = aggregate of rows < r (exclusive shift down).
+    CM = jnp.where(rowi >= 1, pltpu.roll(M, 1, 0), big)
+    C1 = jnp.where(rowi >= 1, pltpu.roll(A1, 1, 0), 0)
+    C2 = jnp.where(rowi >= 1, pltpu.roll(A2, 1, 0), 0)
+    take = (g == 0) & (CM < m)
+    m = jnp.where(take, CM, m)
+    p1 = jnp.where(take, C1, p1)
+    p2 = jnp.where(take, C2, p2)
+
+    # -- run ends hold the winners ------------------------------------------
+    pix_r1 = pltpu.roll(pix, LANES - 1, 1)             # lane j <- j+1
+    next_row_first = pltpu.roll(pix_r1, R - 1, 0)      # row r <- r+1
+    nxt = jnp.where(lane == LANES - 1, next_row_first, pix_r1)
+    endi = jnp.where(
+        (pix != nxt) | ((lane == LANES - 1) & (row == R - 1)), 1, 0)
+
+    # -- intra-row rank compaction (LSB jump routing) -----------------------
+    rank = endi
+    for k in range(LOG_LANES):                        # inclusive prefix sum
+        d = 1 << k
+        rank = rank + jnp.where(lane >= d, pltpu.roll(rank, d, 1), 0)
+    cnt_col = rank[:, LANES - 1:]                     # [R, 1] winners per row
+    rank = rank - endi                                # exclusive = local dest
+
+    live = endi
+    delta = jnp.where(endi == 1, lane - rank, 0)
+    wpix, wkey, w1, w2 = pix, m, p1, p2
+    for k in range(LOG_LANES):
+        d = 1 << k
+        move = live * (((delta >> k) & 1) == 1)
+        move_in = pltpu.roll(move, LANES - d, 1)
+        mv = move_in == 1
+        wpix = jnp.where(mv, pltpu.roll(wpix, LANES - d, 1), wpix)
+        wkey = jnp.where(mv, pltpu.roll(wkey, LANES - d, 1), wkey)
+        w1 = jnp.where(mv, pltpu.roll(w1, LANES - d, 1), w1)
+        w2 = jnp.where(mv, pltpu.roll(w2, LANES - d, 1), w2)
+        delta = jnp.where(mv, pltpu.roll(delta, LANES - d, 1) - d, delta)
+        live = (live & (1 - move)) | move_in
+
+    # row offsets: exclusive cumsum of per-row counts -> [R, 1].
+    off_col = cnt_col
+    for k in range(rounds_r):
+        d = 1 << k
+        off_col = off_col + jnp.where(rowi >= d, pltpu.roll(off_col, d, 0), 0)
+    off_col = off_col - cnt_col
+
+    # stage winner arrays + per-row (offset, count) in scratch so the
+    # sequential loops below can dynamically index them as REFS.
+    spix_ref[:] = wpix
+    skey_ref[:] = wkey
+    s1_ref[:] = w1
+    s2_ref[:] = w2
+    meta_ref[pl.ds(0, R), :] = off_col
+    meta_ref[pl.ds(R, R), :] = cnt_col
+
+    # -- 3. concatenate rows' winners into the compact buffers --------------
+    # (sentinel-fill pix/key first: expansion windows read past the tail)
+    cpix_ref[:] = jnp.full((OUT_R + 2, LANES), big)
+    ckey_ref[:] = jnp.full((OUT_R + 2, LANES), big)
+
+    def store_row(r, _):
+        o = meta_ref[pl.ds(r, 1), :][0, 0]
+        c = meta_ref[pl.ds(R + r, 1), :][0, 0]
+        q = o // LANES
+        s = o % LANES
+        mask = pltpu.roll(jnp.where(lane1 < c, 1, 0), s, 1)
+        hi = (mask == 1) & (lane1 >= s)
+        lo = (mask == 1) & (lane1 < s)
+        for src, dst in ((spix_ref, cpix_ref), (skey_ref, ckey_ref),
+                         (s1_ref, cp1_ref), (s2_ref, cp2_ref)):
+            vrot = pltpu.roll(src[pl.ds(r, 1), :], s, 1)
+            dst[pl.ds(q, 1), :] = jnp.where(hi, vrot, dst[pl.ds(q, 1), :])
+            dst[pl.ds(q + 1, 1), :] = jnp.where(lo, vrot,
+                                                dst[pl.ds(q + 1, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, R, store_row, 0)
+
+    # -- 4. per-block rank bounds (cheap at wide LANES: OUT_R reduces over
+    # the compact buffer) + windowed expansion.
+    cpix_all = cpix_ref[:]
+
+    def gather_block(o, _):
+        lo = jnp.sum(jnp.where(cpix_all < o * LANES, 1, 0))
+        q = lo // LANES
+        s = lo % LANES
+        sh = (LANES - s) % LANES
+        sel = lane1 < LANES - s
+        for dst, buf in ((okey_ref, ckey_ref), (op1_ref, cp1_ref),
+                         (op2_ref, cp2_ref), (wwin_ref, cpix_ref)):
+            a = buf[pl.ds(q, 1), :]
+            b = buf[pl.ds(q + 1, 1), :]
+            w = jnp.where(sel, pltpu.roll(a, sh, 1), pltpu.roll(b, sh, 1))
+            dst[pl.ds(o, 1), :] = w
+        return 0
+
+    jax.lax.fori_loop(0, OUT_R, gather_block, 0)
+
+    # batched local expansion: window lane j of block o holds the
+    # (rank_lo[o]+j)-th winner; this block's winners sit at j < cnt_o with
+    # strictly increasing dests in [j, LANES).
+    owin_pix = wwin_ref[:]
+    okey = okey_ref[:]
+    o1 = op1_ref[:]
+    o2 = op2_ref[:]
+    orow = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 0)
+    olane = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 1)
+    dest = owin_pix - orow * LANES
+    live = jnp.where((dest >= olane) & (dest < LANES) & (owin_pix != big),
+                     1, 0)
+    delta = jnp.where(live == 1, dest - olane, 0)
+    for k in reversed(range(LOG_LANES)):
+        d = 1 << k
+        move = live * (((delta >> k) & 1) == 1)
+        move_in = pltpu.roll(move, d, 1)
+        mv = move_in == 1
+        okey = jnp.where(mv, pltpu.roll(okey, d, 1), okey)
+        o1 = jnp.where(mv, pltpu.roll(o1, d, 1), o1)
+        o2 = jnp.where(mv, pltpu.roll(o2, d, 1), o2)
+        delta = jnp.where(mv, pltpu.roll(delta, d, 1) - d, delta)
+        live = (live & (1 - move)) | move_in
+
+    landed = (live == 1) & (delta == 0)
+    okey_ref[:] = jnp.where(landed, okey, big)
+    op1_ref[:] = o1
+    op2_ref[:] = o2
+
+
+def project_batch_ring_pallas(
+    points: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Same contract as ``project_batch_ring(payload="carry-f16")``.
+
+    points [B, N, 4] float32, valid [B, N] bool ->
+    (img [B, H, W, 5] float32, mask [B, H, W] float32).
+    """
+    b, n = points.shape[0], points.shape[1]
+    n_pix = H * W
+    if n_pix % LANES:
+        raise ValueError("H*W must be a multiple of 512 for the ring kernel")
+    idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
+    rq_max = (1 << rq_bits) - 1
+
+    xyz = points[..., :3]
+    u, v, r = spherical_uv(xyz, H, W, fov_up_deg, fov_down_deg)
+    ok = valid & (r > 1e-6)
+    pix = jnp.where(ok, v * W + u, -1)        # cummax happens in-kernel
+    rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+    rqv = jnp.where(ok, rq, rq_max)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    mkey = (rqv << idx_bits) | idx
+    p1 = _pack_f16x2(points[..., 0], points[..., 1])
+    p2 = _pack_f16x2(points[..., 2], points[..., 3])
+
+    # Pad N to a LANES multiple. Padding joins the last run with losing
+    # keys: rq_max in the range bits keeps them behind every real point
+    # (index bits may spill upward for non-padded n — the key only grows,
+    # stays positive, and rq_ok below masks any such "winner").
+    n_pad = (-n) % LANES
+    if n_pad:
+        pad_idx = jnp.arange(n, n + n_pad, dtype=jnp.int32)
+        # pad pix = -1: the in-kernel cummax raises it to the running max,
+        # joining the last run (where the losing rq_max key buries it).
+        pix = jnp.concatenate(
+            [pix, jnp.full((b, n_pad), -1, jnp.int32)], axis=1)
+        mkey = jnp.concatenate(
+            [mkey, jnp.broadcast_to((rq_max << idx_bits) + pad_idx,
+                                    (b, n_pad))], axis=1)
+        zpad = jnp.zeros((b, n_pad), jnp.int32)
+        p1 = jnp.concatenate([p1, zpad], axis=1)
+        p2 = jnp.concatenate([p2, zpad], axis=1)
+    n_tot = n + n_pad
+    R = n_tot // LANES
+    OUT_R = n_pix // LANES
+
+    shape3 = (b, R, LANES)
+    kern = functools.partial(_ring_kernel, R, OUT_R)
+    okey, op1, op2 = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, R, LANES), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec((None, OUT_R, LANES), lambda s: (s, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, OUT_R, LANES), jnp.int32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cpix
+            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # ckey
+            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cp1
+            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cp2
+            pltpu.VMEM((R, LANES), jnp.int32),           # staged wpix
+            pltpu.VMEM((R, LANES), jnp.int32),           # staged wkey
+            pltpu.VMEM((R, LANES), jnp.int32),           # staged w1
+            pltpu.VMEM((R, LANES), jnp.int32),           # staged w2
+            pltpu.VMEM((2 * R, 1), jnp.int32),           # off ++ cnt
+            pltpu.VMEM((OUT_R, LANES), jnp.int32),       # window pix
+        ],
+        interpret=interpret,
+    )(pix.reshape(shape3), mkey.reshape(shape3),
+      p1.reshape(shape3), p2.reshape(shape3))
+
+    okey = okey.reshape(b, n_pix)
+    rq_ok = (okey >> idx_bits) < rq_max
+    maskf = jnp.logical_and(okey != SENTINEL, rq_ok).astype(jnp.float32)
+    x, y = _unpack_f16x2(op1.reshape(b, n_pix))
+    z, rem = _unpack_f16x2(op2.reshape(b, n_pix))
+    depth = (okey >> idx_bits).astype(jnp.float32) / jnp.float32(rq_scale)
+    img = jnp.stack([x, y, z, rem, depth], -1) * maskf[..., None]
+    return img.reshape(b, H, W, 5), maskf.reshape(b, H, W)

@@ -377,3 +377,36 @@ class TestRingParity:
         Ts, _ = synthetic_trajectory(2, seed=9)
         pts, valid = synthetic_scan(world, Ts[0], 16384, seed=0, rings=H)
         assert proj.check_ring_order(pts, valid, H, W, FU, FD)
+
+
+class TestTiledSegScan:
+    """_seg_min_scan_tiled must equal the flat scan bit-for-bit."""
+
+    @pytest.mark.parametrize("n,lane", [(4096, 512), (2048, 128), (1024, 1024)])
+    def test_matches_flat(self, n, lane):
+        from deeplio_tpu.ops.projection import _seg_min_scan, _seg_min_scan_tiled
+        rng = np.random.default_rng(7)
+        b = 3
+        val = jnp.asarray(rng.integers(0, 2**28, size=(b, n)), jnp.int32)
+        # sparse + clumpy boundaries, always one at 0
+        bound = rng.random((b, n)) < 0.03
+        bound[:, 0] = True
+        bound = jnp.asarray(bound)
+        p1 = jnp.asarray(rng.integers(-2**30, 2**30, size=(b, n)), jnp.int32)
+        m0, ps0 = jax.jit(lambda *a: _seg_min_scan(*a))(bound, val, (p1,))
+        m1, ps1 = jax.jit(lambda *a: _seg_min_scan_tiled(*a))(bound, val, (p1,))
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        # 2^28-range random vals make in-segment ties vanishingly rare, so
+        # the payload (selected by strict-< like the production keys, which
+        # embed a unique index) must match too.
+        np.testing.assert_array_equal(np.asarray(ps0[0]), np.asarray(ps1[0]))
+
+    def test_long_segment_spanning_rows(self):
+        from deeplio_tpu.ops.projection import _seg_min_scan, _seg_min_scan_tiled
+        b, n, lane = 1, 2048, 256
+        val = jnp.asarray(np.arange(n, 0, -1, dtype=np.int32)[None])
+        bound = np.zeros((b, n), bool)
+        bound[:, 0] = True      # ONE segment across all 8 rows
+        m0, _ = _seg_min_scan(jnp.asarray(bound), val)
+        m1, _ = _seg_min_scan_tiled(jnp.asarray(bound), val, lane=lane)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))

@@ -1,0 +1,71 @@
+"""Parity of the Pallas ring kernel (interpret mode on CPU) against the
+XLA ring path and the sequential numpy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplio_tpu.data.synthetic import synthetic_ring_batch
+from deeplio_tpu.ops import projection as proj
+from deeplio_tpu.ops import projection_pallas_ring as ppr
+
+# Heavy end-to-end/parity module: excluded from the fast inner loop
+# (`pytest -m "not slow"`); full suite runs everything.
+pytestmark = pytest.mark.slow
+
+H, W, FU, FD = 16, 128, 3.0, -25.0   # H*W = 2048 = 4 x 512 lanes
+N = 2048
+
+
+def _ring_cloud(seed, b=1, n=N, invalid_frac=0.0):
+    rng = np.random.default_rng(seed)
+    pts = synthetic_ring_batch(rng, b, n, rings=H, fov_up_deg=FU,
+                               fov_down_deg=FD)
+    valid = rng.uniform(size=(b, n)) >= invalid_frac
+    return jnp.asarray(pts), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("seed,invalid_frac", [(0, 0.0), (1, 0.3)])
+def test_matches_xla_ring_carry_f16(seed, invalid_frac):
+    pts, valid = _ring_cloud(seed, b=2, invalid_frac=invalid_frac)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_matches_numpy_oracle():
+    pts, valid = _ring_cloud(3)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True)
+    io, mo = proj.project_scan_np(np.asarray(pts[0]), np.asarray(valid[0]),
+                                  H, W, FU, FD, key_layout="index")
+    np.testing.assert_array_equal(np.asarray(mk[0]), mo)
+    # winner identity is exact; x/y/z/rem carry f16 rounding, depth is the
+    # quantized-range reconstruction.
+    np.testing.assert_allclose(np.asarray(ik[0, ..., :4]), io[..., :4],
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(ik[0, ..., 4]), io[..., 4],
+                               atol=0.05)
+
+
+def test_unpadded_point_count():
+    # N not a multiple of 512 exercises the pad path (pad joins last run).
+    pts, valid = _ring_cloud(4, n=1808)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_all_invalid():
+    pts, _ = _ring_cloud(5)
+    valid = jnp.zeros((1, N), bool)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True)
+    assert float(jnp.sum(mk)) == 0.0
+    assert float(jnp.sum(jnp.abs(ik))) == 0.0
