@@ -58,6 +58,7 @@ def run_variant(name: str, pairs: int = 128, iters: int = 8,
 
 def main():
     run_variant("baseline B=128")
+    run_variant("stride pool", pool="stride")
     run_variant("s2d stem", stem="s2d")
     run_variant("fused fire", fire="fused")
     run_variant("s2d + fused", stem="s2d", fire="fused")

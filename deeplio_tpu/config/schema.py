@@ -257,8 +257,8 @@ class LidarFeatConfig:
     # classic forms remain the reference-shaped defaults.
     stem: str = "classic"
     fire: str = "classic"
-    # pool="cheap": (1,2)-window max pools — the classic 3x3 windows cost
-    # ~2x the tower's convolutions on TPU (models/pointseg.py).
+    # pool="cheap": (1,2)-window max pools; pool="stride": no pools, the
+    # stage-entry Fire squeezes carry stride (1,2) (models/pointseg.py).
     pool: str = "classic"
 
     @staticmethod
@@ -272,8 +272,9 @@ class LidarFeatConfig:
             raise ConfigError(f"stem must be classic|s2d, got {stem!r}")
         if fire not in ("classic", "fused"):
             raise ConfigError(f"fire must be classic|fused, got {fire!r}")
-        if pool not in ("classic", "cheap"):
-            raise ConfigError(f"pool must be classic|cheap, got {pool!r}")
+        if pool not in ("classic", "cheap", "stride"):
+            raise ConfigError(
+                f"pool must be classic|cheap|stride, got {pool!r}")
         return LidarFeatConfig(
             name=name,
             part=str(_get(d, "part", default_part)),

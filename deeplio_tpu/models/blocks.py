@@ -76,14 +76,20 @@ class Fire(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
     fused: bool = False
+    # stride applies at the squeeze conv: the module then performs the
+    # stage's downsampling itself (pool="stride" encoder variant) without
+    # ever materializing a pooled copy of the full-width input.
+    strides: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.fused:
             return ConvBN(self.expand1 + self.expand3, (3, 3),
-                          use_bn=self.use_bn, dtype=self.dtype,
+                          strides=self.strides, use_bn=self.use_bn,
+                          dtype=self.dtype,
                           axis_name=self.axis_name)(x, train)
-        s = ConvBN(self.squeeze, (1, 1), use_bn=self.use_bn, dtype=self.dtype,
+        s = ConvBN(self.squeeze, (1, 1), strides=self.strides,
+                   use_bn=self.use_bn, dtype=self.dtype,
                    axis_name=self.axis_name)(x, train)
         e1 = nn.Conv(self.expand1, (1, 1), padding="SAME", dtype=self.dtype)(s)
         e3 = nn.Conv(self.expand3, (3, 3), padding="SAME", dtype=self.dtype)(s)

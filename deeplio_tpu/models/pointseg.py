@@ -49,27 +49,33 @@ class PointSegEncoder(nn.Module):
     el_squeeze: int = 0  # >0: bottlenecked EL/ASPP (see blocks.ASPP)
     stem: str = "classic"  # classic | s2d
     fire: str = "classic"  # classic | fused
-    # pool="cheap": (1,2) window instead of the classic overlapping (3,3).
-    # The profiler shows the three 3x3 pools cost ~5.7 ms/step fwd+bwd at
-    # B=128 (compare-select fwd + select-and-scatter bwd) — 2x the step's
-    # actual convolutions; a (1,2) window is one compare and a trivial
-    # backward. Same W/2 subsampling grid.
-    pool: str = "classic"  # classic | cheap
+    # pool="cheap": (1,2) window instead of the classic overlapping (3,3)
+    # (measured neutral end-to-end). pool="stride": NO pool ops at all —
+    # each stage's entry Fire downsamples via a strided squeeze conv, so
+    # the pooled copies of the widest activations are never materialized
+    # (the tower is aggregate-bandwidth-bound; pools cost ~5.7 ms/step in
+    # fwd compare-selects + select-and-scatter backwards).
+    pool: str = "classic"  # classic | cheap | stride
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ax = self.axis_name
         fused = self.fire == "fused"
 
-        def fire(sq, e1, e3):
-            return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=fused)
+        def fire(sq, e1, e3, strides=(1, 1)):
+            return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=fused,
+                        strides=strides)
 
         if self.pool == "cheap":
             def pool(t):
                 return nn.max_pool(t, (1, 2), strides=(1, 2), padding="SAME")
+        elif self.pool == "stride":
+            def pool(t):
+                return t            # stage-entry Fires downsample instead
         else:
             def pool(t):
                 return nn.max_pool(t, (3, 3), strides=(1, 2), padding="SAME")
+        entry = (1, 2) if self.pool == "stride" else (1, 1)
 
         # Stem: H/h_stride, W/w_stride.
         if self.stem == "s2d":
@@ -82,21 +88,21 @@ class PointSegEncoder(nn.Module):
                         axis_name=ax)(x, train)
         p1 = pool(c1)                                       # W/4
 
-        f2 = fire(16, 64, 64)(p1, train)
+        f2 = fire(16, 64, 64, entry)(p1, train)
         f3 = fire(16, 64, 64)(f2, train)
         if self.with_se:
             f3 = SELayer(dtype=self.dtype)(f3)
         f3 = f3 + f2                                        # residual
         p3 = pool(f3)                                       # W/8
 
-        f4 = fire(32, 128, 128)(p3, train)
+        f4 = fire(32, 128, 128, entry)(p3, train)
         f5 = fire(32, 128, 128)(f4, train)
         if self.with_se:
             f5 = SELayer(dtype=self.dtype)(f5)
         f5 = f5 + f4
         p5 = pool(f5)                                       # W/16
 
-        f6 = fire(48, 192, 192)(p5, train)
+        f6 = fire(48, 192, 192, entry)(p5, train)
         f7 = fire(48, 192, 192)(f6, train)
         f8 = fire(64, 256, 256)(f7, train)
         f9 = fire(64, 256, 256)(f8, train)

@@ -643,7 +643,8 @@ def normalize_channels(
 
 
 def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
-                   mean: Sequence[float] = (), std: Sequence[float] = ()):
+                   mean: Sequence[float] = (), std: Sequence[float] = (),
+                   out_dtype=None):
     """Build the jit-ready batched scan->image function for a config.
 
     Returns fn(points [..., N, 4], valid [..., N]) ->
@@ -693,6 +694,11 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             raise ValueError(f"unknown projection backend {backend!r}")
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
+        if out_dtype is not None:
+            # Emit the training dtype straight out of the fused projection
+            # graph (the model casts anyway; emitting bf16 halves the
+            # image materialization + pair-concat traffic).
+            img = img.astype(out_dtype)
         return img, mask
 
     def project(points: jax.Array, valid: jax.Array):

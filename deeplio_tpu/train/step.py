@@ -71,8 +71,11 @@ def build_train_step(
     train_step(state, raw_batch) -> (state, metrics)   [state donated]
     eval_step(state, raw_batch)  -> (x_pred, q_pred, metrics)
     """
+    from deeplio_tpu.models.zoo import _dtype_of
+
     ds = cfg.datasets
-    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
+                               out_dtype=_dtype_of(cfg.model.compute_dtype))
     has_lidar = cfg.model.arch in ("deeplo", "deeplio")
 
     def _loss_fn(trainables, batch_stats, raw, dropout_rng):

@@ -149,15 +149,17 @@ def test_jit_forward():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("stem,fire", [("s2d", "classic"), ("classic", "fused"),
-                                       ("s2d", "fused")])
-def test_pointseg_tpu_variants(stem, fire):
-    """TPU bandwidth knobs (s2d stem / fused Fire) keep the encoder's
-    output grid and stay finite under grad (models/pointseg.py)."""
+@pytest.mark.parametrize("stem,fire,pool", [
+    ("s2d", "classic", "classic"), ("classic", "fused", "classic"),
+    ("s2d", "fused", "classic"), ("classic", "classic", "stride"),
+    ("classic", "classic", "cheap")])
+def test_pointseg_tpu_variants(stem, fire, pool):
+    """TPU bandwidth knobs (s2d stem / fused Fire / stride pool) keep the
+    encoder's output grid and stay finite under grad (models/pointseg.py)."""
     from deeplio_tpu.models.pointseg import PointSegNet
     ref = PointSegNet(part="encoder", h_stride=2, w_stride=4, el_squeeze=32)
     var_net = PointSegNet(part="encoder", h_stride=2, w_stride=4,
-                          el_squeeze=32, stem=stem, fire=fire)
+                          el_squeeze=32, stem=stem, fire=fire, pool=pool)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, 16, 128, 10)).astype(np.float32))
     vr = ref.init(jax.random.PRNGKey(0), x, train=False)
