@@ -680,9 +680,15 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
             img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
         elif backend == "pallas-ring":
-            from deeplio_tpu.ops.projection_pallas_ring import (
-                project_batch_ring_pallas)
-            img5, mask = project_batch_ring_pallas(pts, vld, H, W, fu, fd)
+            if jax.default_backend() == "cpu":
+                # Mosaic kernels need a TPU; CPU runs (tests, local dev)
+                # fall back to the bit-identical XLA ring path.
+                img5, mask = project_batch_ring(pts, vld, H, W, fu, fd,
+                                                payload="carry-f16")
+            else:
+                from deeplio_tpu.ops.projection_pallas_ring import (
+                    project_batch_ring_pallas)
+                img5, mask = project_batch_ring_pallas(pts, vld, H, W, fu, fd)
         elif backend == "ring":
             img5, mask = project_batch_ring(pts, vld, H, W, fu, fd, payload=pay)
         elif backend == "sort":

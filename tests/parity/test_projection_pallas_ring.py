@@ -69,3 +69,20 @@ def test_all_invalid():
                                            interpret=True)
     assert float(jnp.sum(mk)) == 0.0
     assert float(jnp.sum(jnp.abs(ik))) == 0.0
+
+
+def test_make_projector_cpu_fallback():
+    """backend=pallas-ring on a CPU backend silently uses the bit-identical
+    XLA ring path (Mosaic needs a TPU), so flagship configs stay runnable
+    everywhere."""
+    from deeplio_tpu.config.schema import ProjectionConfig
+    cfg = ProjectionConfig(height=H, width=W, fov_up_deg=FU, fov_down_deg=FD,
+                           max_points=N, packed=True, backend="pallas-ring",
+                           chunk=0)
+    projector = proj.make_projector(cfg, ("x", "y", "z", "remission", "depth"))
+    pts, valid = _ring_cloud(9)
+    img, mask = projector(pts, valid)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ix))
