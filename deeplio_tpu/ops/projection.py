@@ -176,6 +176,9 @@ def _seg_min_scan(boundary, val, payloads=()):
     rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
     big = jnp.int32(np.iinfo(np.int32).max)
     col = jnp.arange(n, dtype=jnp.int32)
+    # f tracks "boundary inside the current (2^k)-window". The classic
+    # extra origin-fill is unnecessary: positions j < 2^k get big-filled
+    # m_prev (take false) and positions j >= 2^k can't see the origin.
     f = boundary
     m = val
     ps = list(payloads)
@@ -186,7 +189,7 @@ def _seg_min_scan(boundary, val, payloads=()):
         take_prev = ~f & (m_prev < m)
         m = jnp.where(take_prev, m_prev, m)
         ps = [jnp.where(take_prev, jnp.roll(p, d, axis=1), p) for p in ps]
-        f = f | jnp.where(in_range, jnp.roll(f, d, axis=1), True)
+        f = f | jnp.where(in_range, jnp.roll(f, d, axis=1), False)
     return m, ps
 
 
@@ -413,21 +416,21 @@ def _seg_min_scan_tiled(boundary, val, payloads=(), lane=512):
     rrows = n // lane
     big = jnp.int32(np.iinfo(np.int32).max)
     shp = (b, rrows, lane)
-    f = boundary.reshape(shp)
-    g = f                                  # real-boundary prefix OR (row-local)
+    g = boundary.reshape(shp)              # boundary OR over the 2^k-window
     m = val.reshape(shp)
     ps = [p.reshape(shp) for p in payloads]
     col = jnp.arange(lane, dtype=jnp.int32)
 
-    # (a) intra-row segmented min-scan.
+    # (a) intra-row segmented min-scan. g alone suffices as the stop flag:
+    # in-range positions (j >= 2^k) have windows that can't reach the row
+    # origin, and out-of-range ones get big-filled m_prev anyway.
     for k in range(int(np.log2(lane))):
         d = 1 << k
         in_range = col >= d
         m_prev = jnp.where(in_range, jnp.roll(m, d, axis=-1), big)
-        take = ~f & (m_prev < m)
+        take = ~g & (m_prev < m)
         m = jnp.where(take, m_prev, m)
         ps = [jnp.where(take, jnp.roll(p, d, axis=-1), p) for p in ps]
-        f = f | jnp.where(in_range, jnp.roll(f, d, axis=-1), True)
         g = g | jnp.where(in_range, jnp.roll(g, d, axis=-1), False)
 
     # (b) row aggregates -> inclusive segmented scan over the row axis.

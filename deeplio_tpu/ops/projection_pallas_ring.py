@@ -97,19 +97,20 @@ def _ring_kernel(R: int, OUT_R: int,
     start = jnp.where((pix != prev) | ((lane == 0) & (row == 0)), 1, 0)
 
     # -- two-level segmented min-scan (value m, payloads p1 p2) -------------
-    f = start                    # scan bookkeeping flag (origin-filled)
-    g = start                    # REAL-boundary prefix OR (row-local)
+    # Only the REAL-boundary window-OR g is tracked: the classic
+    # origin-fill flag is redundant — a position j >= 2^k (the only ones
+    # whose m_prev isn't big-filled) has window (j-2^k, j], which cannot
+    # reach the row origin, so "saw origin or boundary" == g there.
+    g = start                    # boundary OR over the (2^k)-window
     for k in range(LOG_LANES):
         d = 1 << k
         in_range = lane >= d
         m_prev = jnp.where(in_range, pltpu.roll(m, d, 1), big)
-        f_prev = jnp.where(in_range, pltpu.roll(f, d, 1), 1)
         g_prev = jnp.where(in_range, pltpu.roll(g, d, 1), 0)
-        take = (f == 0) & (m_prev < m)
+        take = (g == 0) & (m_prev < m)
         m = jnp.where(take, m_prev, m)
         p1 = jnp.where(take, pltpu.roll(p1, d, 1), p1)
         p2 = jnp.where(take, pltpu.roll(p2, d, 1), p2)
-        f = f | f_prev
         g = g | g_prev
 
     # row aggregates at the last lane -> [R, 1] carry scan over rows.
@@ -123,7 +124,7 @@ def _ring_kernel(R: int, OUT_R: int,
         d = 1 << k
         in_range = rowi >= d
         M_prev = jnp.where(in_range, pltpu.roll(M, d, 0), big)
-        F_prev = jnp.where(in_range, pltpu.roll(F, d, 0), 1)
+        F_prev = jnp.where(in_range, pltpu.roll(F, d, 0), 0)
         take = (F == 0) & (M_prev < M)
         M = jnp.where(take, M_prev, M)
         A1 = jnp.where(take, pltpu.roll(A1, d, 0), A1)
