@@ -7,10 +7,16 @@ flip JAX to CPU with 8 fake devices BEFORE any backend is initialised
 """
 
 import os
+import pathlib
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Separate persistent-compile-cache namespace for CPU runs: mixing CPU AOT
+# artifacts across the axon terminal's and the host's CPU targets triggers
+# feature-mismatch warnings/SIGILL risk (deeplio_tpu/__init__.py).
+os.environ.setdefault("DEEPLIO_JAX_CACHE", str(
+    pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_cpu"))
 
 import jax  # noqa: E402
 
