@@ -683,9 +683,9 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
             img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
         elif backend == "pallas-ring":
-            if jax.default_backend() == "cpu":
-                # Mosaic kernels need a TPU; CPU runs (tests, local dev)
-                # fall back to the bit-identical XLA ring path.
+            if jax.default_backend() != "tpu":
+                # Mosaic kernels need a TPU; CPU/GPU runs (tests, local
+                # dev) fall back to the bit-identical XLA ring path.
                 img5, mask = project_batch_ring(pts, vld, H, W, fu, fd,
                                                 payload="carry-f16")
             else:

@@ -12,18 +12,19 @@ array (~240 full-array passes; XLA pins them in VMEM but still executes
 every round). This kernel keeps the whole scan in VMEM once and replaces
 the two O(N log N) routing stages with O(N) data movement:
 
-  1. two-level segmented min-scan: 9 intra-row rounds over a [R, 512]
-     view + a [R, 1] row-carry scan + one fixup pass (the same
+  1. two-level segmented min-scan: log2(LANES) intra-row rounds over a
+     [R, LANES] view + a [R, 1] row-carry scan + one fixup pass (the same
      decomposition as ``projection._seg_min_scan_tiled``),
-  2. intra-row rank compaction (9 lane rounds; dest = within-row rank, so
-     displacements are monotone over keeps by construction),
+  2. intra-row rank compaction (log2(LANES) lane rounds; dest =
+     within-row rank, so displacements are monotone over keeps),
   3. a sequential per-row loop of dynamic-offset MASKED WINDOW STORES
      concatenating each row's winners into a pix-sorted compact buffer —
-     one rotated 512-lane store per row instead of log2(N) global rounds,
+     one rotated LANES-wide store per row instead of log2(N) global
+     rounds,
   4. per-output-block rank bounds by vectorized counting, one rotated
-     window LOAD per output block, and a single BATCHED 9-round local
-     expansion to pixel slots (a 512-pixel block holds <= 512 winners, so
-     every window is exact).
+     window LOAD per output block, and a single BATCHED local expansion
+     to pixel slots (a LANES-pixel block holds <= LANES winners, so every
+     window is exact).
 
 Semantics are bit-identical to ``project_batch_ring(payload="carry-f16")``
 (same (rq << idx_bits | idx) winner keys, same cummax handling of invalid
@@ -79,13 +80,14 @@ def _ring_kernel(R: int, OUT_R: int,
         d = 1 << k
         pix = jnp.maximum(pix, jnp.where(lane >= d, pltpu.roll(pix, d, 1),
                                          -1))
-    rowi0 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rounds_r = max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0
     rmax = pix[:, LANES - 1:]
-    for k in range(max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0):
+    for k in range(rounds_r):
         d = 1 << k
-        rmax = jnp.maximum(rmax, jnp.where(rowi0 >= d,
+        rmax = jnp.maximum(rmax, jnp.where(rowi >= d,
                                            pltpu.roll(rmax, d, 0), -1))
-    carry = jnp.where(rowi0 >= 1, pltpu.roll(rmax, 1, 0), -1)
+    carry = jnp.where(rowi >= 1, pltpu.roll(rmax, 1, 0), -1)
     pix = jnp.maximum(jnp.maximum(pix, carry), 0)
 
     # -- run boundaries over the FLAT order ---------------------------------
@@ -118,8 +120,6 @@ def _ring_kernel(R: int, OUT_R: int,
     M = m[:, LANES - 1:]
     A1 = p1[:, LANES - 1:]
     A2 = p2[:, LANES - 1:]
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    rounds_r = max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0
     for k in range(rounds_r):
         d = 1 << k
         in_range = rowi >= d
@@ -254,8 +254,11 @@ def _ring_kernel(R: int, OUT_R: int,
 
     landed = (live == 1) & (delta == 0)
     okey_ref[:] = jnp.where(landed, okey, big)
-    op1_ref[:] = o1
-    op2_ref[:] = o2
+    # Zero non-landed payload lanes: expansion windows can extend past the
+    # last winner into UNINITIALIZED scratch, and garbage bits unpack to
+    # f16 NaN which the wrapper's mask multiply (0 * NaN) cannot remove.
+    op1_ref[:] = jnp.where(landed, o1, 0)
+    op2_ref[:] = jnp.where(landed, o2, 0)
 
 
 def project_batch_ring_pallas(
@@ -275,7 +278,8 @@ def project_batch_ring_pallas(
     b, n = points.shape[0], points.shape[1]
     n_pix = H * W
     if n_pix % LANES:
-        raise ValueError("H*W must be a multiple of 512 for the ring kernel")
+        raise ValueError(
+            f"H*W must be a multiple of {LANES} for the ring kernel")
     idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
     rq_max = (1 << rq_bits) - 1
 

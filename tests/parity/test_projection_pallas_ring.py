@@ -13,8 +13,11 @@ from deeplio_tpu.ops import projection_pallas_ring as ppr
 # (`pytest -m "not slow"`); full suite runs everything.
 pytestmark = pytest.mark.slow
 
-H, W, FU, FD = 16, 128, 3.0, -25.0   # H*W = 2048 = 4 x 512 lanes
-N = 2048
+# H*W = 8192 = 4 output blocks of LANES=2048; N = 8192 = 4 point rows —
+# exercises the row-carry scans, cross-row runs, store_row wrap paths and
+# multi-block gather windows (NOT just the degenerate R=1/OUT_R=1 case).
+H, W, FU, FD = 64, 128, 3.0, -25.0
+N = 8192
 
 
 def _ring_cloud(seed, b=1, n=N, invalid_frac=0.0):
@@ -53,7 +56,7 @@ def test_matches_numpy_oracle():
 
 def test_unpadded_point_count():
     # N not a multiple of 512 exercises the pad path (pad joins last run).
-    pts, valid = _ring_cloud(4, n=1808)
+    pts, valid = _ring_cloud(4, n=7040)   # pads to 8192
     ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
                                            interpret=True)
     ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
@@ -86,3 +89,24 @@ def test_make_projector_cpu_fallback():
                                      payload="carry-f16")
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(mx))
     np.testing.assert_array_equal(np.asarray(img), np.asarray(ix))
+
+
+def test_make_projector_out_dtype():
+    """out_dtype emits the training dtype from the fused projection graph
+    with values equal to the f32 path cast afterwards."""
+    import jax.numpy as jnp
+    from deeplio_tpu.config.schema import ProjectionConfig
+    cfg = ProjectionConfig(height=H, width=W, fov_up_deg=FU, fov_down_deg=FD,
+                           max_points=N, backend="ring", chunk=0)
+    ch = ("x", "y", "z", "remission", "depth")
+    mean = (0.0, 0.0, -1.0, 0.25, 12.0)
+    std = (12.0, 12.0, 1.5, 0.16, 12.0)
+    p32 = proj.make_projector(cfg, ch, mean, std)
+    p16 = proj.make_projector(cfg, ch, mean, std, out_dtype=jnp.bfloat16)
+    pts, valid = _ring_cloud(11)
+    i32, m32 = p32(pts, valid)
+    i16, m16 = p16(pts, valid)
+    assert i16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16))
+    np.testing.assert_array_equal(
+        np.asarray(i32.astype(jnp.bfloat16)), np.asarray(i16))
