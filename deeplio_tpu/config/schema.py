@@ -75,9 +75,11 @@ class ProjectionConfig:
     fov_up_deg: float = 3.0
     fov_down_deg: float = -25.0
     max_points: int = 131072  # static per-scan point capacity (pad/truncate)
-    # packed=True carries channels as f16 pairs through the legacy
-    # sort-sentinel backend (~1.65x faster there; <=3cm xyz rounding). The
-    # "sort"/"ring" backends gather exact f32 payloads and ignore it.
+    # packed=True carries channels as packed-f16 pairs through EVERY
+    # backend's routing (~40% less carried traffic; <=3cm xyz rounding and
+    # quantized-range depth). packed=False keeps exact f32 payloads on the
+    # sort/ring XLA backends; the Mosaic pallas-ring kernel is always
+    # packed.
     packed: bool = False
     # backend: "sort" (sentinel-free sort + jump compact/expand, production)
     #        | "ring" (sort-FREE segmented min-scan; requires ring-ordered
@@ -192,7 +194,14 @@ class DatasetConfig:
             backend=str(_get(d, "backend", "sort")),
             chunk=int(_get(d, "projection-chunk", 16)),
         )
-        combos = tuple(tuple(c) for c in (_get(d, "combinations", None) or ()))
+        combos = tuple(tuple(int(i) for i in c)
+                       for c in (_get(d, "combinations", None) or ()))
+        seq = int(_get(d, "sequence-size", 2))
+        for c in combos:
+            if len(c) != 2 or not all(0 <= i < seq for i in c):
+                raise ConfigError(
+                    f"combination {c} out of range for sequence-size {seq} "
+                    f"(frame indices are 0..{seq - 1})")
         channels = tuple(_get(d, "channels", ["x", "y", "z", "remission", "depth"]))
         for c in channels:
             if c not in CHANNEL_ORDER:
@@ -202,7 +211,7 @@ class DatasetConfig:
             train=_split(_get(kitti, "train", {})),
             validation=_split(_get(kitti, "validation", {})),
             test=_split(_get(kitti, "test", {})),
-            sequence_size=int(_get(d, "sequence-size", 2)),
+            sequence_size=seq,
             combinations=combos,
             window_stride=int(_get(d, "window-stride", 1)),
             channels=channels,
@@ -268,6 +277,10 @@ class LidarFeatConfig:
         stem = str(_get(d, "stem", "classic"))
         fire = str(_get(d, "fire", "classic"))
         pool = str(_get(d, "pool", "classic"))
+        part = str(_get(d, "part", default_part))
+        if part not in ("encoder", "encoder+decoder"):
+            raise ConfigError(
+                f"part must be encoder|encoder+decoder, got {part!r}")
         if stem not in ("classic", "s2d"):
             raise ConfigError(f"stem must be classic|s2d, got {stem!r}")
         if fire not in ("classic", "fused"):
@@ -277,7 +290,7 @@ class LidarFeatConfig:
                 f"pool must be classic|cheap|stride, got {pool!r}")
         return LidarFeatConfig(
             name=name,
-            part=str(_get(d, "part", default_part)),
+            part=part,
             bypass=bypass,
             base_channels=int(_get(d, "base-channels", 64)),
             dropout=float(_get(d, "dropout", 0.0)),
@@ -498,10 +511,9 @@ class Config:
 
         lidar = imu = fusion = None
         if arch in ("deeplo", "deeplio"):
-            lname = str(_require(arch_block, "lidar-feat-net", f"'{arch}' block")
-                        if isinstance(_get(arch_block, "lidar-feat-net"), str)
-                        else _get(_get(arch_block, "lidar-feat-net", {}) or {}, "name",
-                                  "lidar-feat-pointseg"))
+            lspec = _require(arch_block, "lidar-feat-net", f"'{arch}' block")
+            lname = str(lspec if isinstance(lspec, str)
+                        else _get(lspec or {}, "name", "lidar-feat-pointseg"))
             lidar = LidarFeatConfig.from_dict(lname, _get(d, lname, {}) or {})
         if arch in ("deepio", "deeplio"):
             iname = str(_get(arch_block, "imu-feat-net", "imu-feat-rnn")

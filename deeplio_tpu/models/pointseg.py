@@ -153,16 +153,22 @@ class PointSegNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        feat, skips = PointSegEncoder(self.dtype, self.axis_name, self.use_bn,
-                                      self.with_se, self.h_stride,
-                                      self.w_stride, self.el_squeeze,
-                                      self.stem, self.fire, self.pool,
-                                      name="encoder")(x, train)
+        feat, skips = PointSegEncoder(
+            dtype=self.dtype, axis_name=self.axis_name, use_bn=self.use_bn,
+            with_se=self.with_se, h_stride=self.h_stride,
+            w_stride=self.w_stride, el_squeeze=self.el_squeeze,
+            stem=self.stem, fire=self.fire, pool=self.pool,
+            name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat
         dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)
         if self.num_classes is None:
             return dec
+        if (self.h_stride, self.w_stride) != (1, 2):
+            raise ValueError(
+                "the segmentation classifier head's single width-2 upsample "
+                "restores full resolution only for h_stride=1/w_stride=2; "
+                f"got ({self.h_stride}, {self.w_stride})")
         up = nn.ConvTranspose(64, (1, 4), strides=(1, 2), padding="SAME",
                               dtype=self.dtype)(dec)       # back to full W
         logits = nn.Conv(self.num_classes, (1, 1), padding="SAME",

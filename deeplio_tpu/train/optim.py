@@ -34,6 +34,12 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1000
         # the lr lives in opt_state.hyperparams (inject_hyperparams) and
         # the trainer's PlateauController rewrites it at validation time —
         # torch ReduceLROnPlateau semantics (SURVEY.md §2.5 scheduler row).
+        # A step-indexed warmup cannot coexist with that rewrite, so
+        # reject the combination loudly instead of silently ignoring it.
+        if cfg.warmup_steps > 0:
+            raise ValueError(
+                "scheduler=plateau is incompatible with warmup-steps "
+                "(the plateau controller rewrites a constant injected lr)")
         sched = cfg.lr
     else:
         sched = make_schedule(cfg, steps_per_epoch)

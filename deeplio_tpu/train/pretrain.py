@@ -77,9 +77,18 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
     # The odometry encoder consumes PAIR-stacked images (2C channels); the
     # segmentation pretrainer must feed the same width so conv kernels
     # transfer. We duplicate the single frame (a standing-still pair).
+    # Mirror the odometry encoder's tower knobs exactly — otherwise the
+    # pretrained encoder subtree cannot be grafted (param-shape mismatch
+    # with e.g. el-squeeze / se / stem / fire / pool settings).
+    lc = cfg.model.lidar
     net = PointSegNet(part="encoder+decoder", num_classes=num_classes,
                       dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
-                      else jnp.float32)
+                      else jnp.float32,
+                      with_se=lc.se if lc else True,
+                      el_squeeze=lc.el_squeeze if lc else 0,
+                      stem=lc.stem if lc else "classic",
+                      fire=lc.fire if lc else "classic",
+                      pool=lc.pool if lc else "classic")
 
     drives = build_drives(cfg, "train")
     rng = np.random.default_rng(seed)

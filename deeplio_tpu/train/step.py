@@ -47,7 +47,10 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
     mb: Batch = {}
     if cfg.model.arch in ("deeplo", "deeplio"):
         if "images" in raw:
-            imgs = raw["images"].astype(jnp.float32)             # [B,S,H,W,C]
+            from deeplio_tpu.models.zoo import _dtype_of
+            # Cached f16 images go straight to the compute dtype — building
+            # the pair stack in f32 would double the step's largest tensor.
+            imgs = raw["images"].astype(_dtype_of(cfg.model.compute_dtype))
         else:
             imgs, _ = projector(raw["points"], raw["points_valid"])
         pairs = []
@@ -76,7 +79,6 @@ def build_train_step(
     ds = cfg.datasets
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
                                out_dtype=_dtype_of(cfg.model.compute_dtype))
-    has_lidar = cfg.model.arch in ("deeplo", "deeplio")
 
     def _loss_fn(trainables, batch_stats, raw, dropout_rng):
         variables = {"params": trainables["model"]}
