@@ -56,13 +56,32 @@ class ProjectionCache:
         span = f"{getattr(drive, 'start', 0)}-{len(drive)}"
         return os.path.join(self.dir, f"{drive.name}@{span}-{self.tag}.npy")
 
-    def ensure(self, drives: Sequence, batch: int = 16) -> None:
-        """Prefill: project every frame of every drive once (device)."""
+    def ensure(self, drives: Sequence, batch: int = 16,
+               timeout_s: float = 3600.0) -> None:
+        """Prefill: project every frame of every drive once (device).
+
+        Multi-host: only the PRIMARY process builds (the workdir is shared
+        — orbax checkpointing already requires that); the others poll for
+        the finished files. Per-process tmp names keep even a misconfigured
+        non-shared-fs launch from corrupting a neighbour's build.
+        """
+        import time
+
         from deeplio_tpu.ops.projection import make_projector
 
         log = get_app_logger()
         todo = [d for d in drives if not os.path.exists(self._path(d))]
         if not todo:
+            return
+        if jax.process_index() != 0:
+            deadline = time.time() + timeout_s
+            for d in todo:
+                while not os.path.exists(self._path(d)):
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"projection cache {self._path(d)} not built by "
+                            "the primary process within the timeout")
+                    time.sleep(2.0)
             return
         ds = self.ds_cfg
         projector = jax.jit(make_projector(ds.projection, ds.channels,
@@ -71,9 +90,9 @@ class ProjectionCache:
             n = len(d)
             H, W = ds.projection.height, ds.projection.width
             C = ds.num_image_channels
+            tmp = f"{self._path(d)}.tmp.{os.getpid()}"
             out = np.lib.format.open_memmap(
-                self._path(d) + ".tmp", mode="w+", dtype=np.float16,
-                shape=(n, H, W, C))
+                tmp, mode="w+", dtype=np.float16, shape=(n, H, W, C))
             for b0 in range(0, n, batch):
                 sel = range(b0, min(b0 + batch, n))
                 pts, vld = zip(*[d.points(i) for i in sel])
@@ -87,7 +106,7 @@ class ProjectionCache:
                     jax.device_get(img[:len(sel)]), np.float16)
             out.flush()
             del out
-            os.replace(self._path(d) + ".tmp", self._path(d))
+            os.replace(tmp, self._path(d))
             log.info("projection cache: %s (%d frames) -> %s",
                      d.name, n, self._path(d))
 

@@ -219,11 +219,25 @@ def import_state_dict(
                 w = take(dot + "weight")
                 b = take(dot + "bias") if dot + "bias" in sd else None
                 tw = _np(w)
-                if tw.ndim == 4 and np.shape(module["kernel"]) == \
-                        tuple(np.transpose(tw, (2, 3, 1, 0)).shape):
-                    conv = convert_conv(w, b)
-                else:
-                    conv = convert_conv_transpose(w, b)
+                want = tuple(np.shape(module["kernel"]))
+                as_conv = tuple(np.transpose(tw, (2, 3, 1, 0)).shape)
+                as_deconv = tuple(np.transpose(tw, (2, 3, 0, 1)).shape)
+                # The two layouts are shape-identical when in==out channels
+                # (true for every deconv in this model family), so shape
+                # alone cannot disambiguate — the flax path decides first.
+                is_deconv = any("ConvTranspose" in part for part in path)
+                is_conv = not is_deconv and any(
+                    part.startswith("Conv_") or part == "Conv" for part in path)
+                if not (is_deconv or is_conv):
+                    conv_ok = tw.ndim == 4 and want == as_conv
+                    deconv_ok = tw.ndim == 4 and want == as_deconv
+                    # Ambiguous square kernels on explicitly-named modules
+                    # default to Conv: flax auto-naming stamps every
+                    # ConvTranspose path with "ConvTranspose_k", so a named
+                    # path without that marker is a Conv in this family.
+                    is_conv = conv_ok
+                conv = convert_conv(w, b) if is_conv \
+                    else convert_conv_transpose(w, b)
                 put(new_params, path, conv)
             elif kind == "dense":
                 b = take(dot + "bias") if dot + "bias" in sd else None
@@ -249,17 +263,27 @@ def import_state_dict(
                 else:
                     num_layers, cell, bidi = meta
                 sub = convert_rnn(sd, dot, num_layers, cell, bidi)
-                for k in sd:
-                    if k.startswith(dot) and any(
-                            t in k for t in ("weight_ih", "weight_hh",
-                                             "bias_ih", "bias_hh")):
-                        consumed.add(k)
+                # Consume exactly the keys convert_rnn read — a blanket
+                # prefix sweep would silently bypass the strict leftovers
+                # check for extra layers/directions in the state_dict.
+                for layer in range(num_layers):
+                    for direc in (["", "_reverse"] if bidi else [""]):
+                        for t in ("weight_ih", "weight_hh",
+                                  "bias_ih", "bias_hh"):
+                            consumed.add(f"{dot}{t}_l{layer}{direc}")
                 put(new_params, path, sub)
         except KeyError as e:
             unmatched.append(f"{'/'.join(path)} <- {dot}* (missing {e})")
 
-    # Shape check against the flax tree (catches transposition mistakes).
+    # Shape check against the flax tree (catches transposition mistakes),
+    # in BOTH directions: imported leaves absent from the flax tree (e.g.
+    # a torch bias for a use_bias=False conv) are errors too — flax apply
+    # would silently ignore them.
     def check(ref, new, path=()):
+        for k in new:
+            if k not in ref:
+                unmatched.append(
+                    f"imported leaf has no flax home: {'/'.join(path + (k,))}")
         for k, v in ref.items():
             if k not in new:
                 unmatched.append(f"flax module not imported: {'/'.join(path + (k,))}")

@@ -12,5 +12,4 @@ from deeplio_tpu.parallel.multihost import (
     is_primary,
     make_global_batch,
     maybe_initialize,
-    process_slice,
 )

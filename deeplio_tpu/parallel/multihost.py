@@ -54,6 +54,10 @@ def maybe_initialize(coordinator: Optional[str] = None,
         return jax.process_count() > 1
     kwargs = {}
     if coordinator:
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                "DEEPLIO_COORDINATOR requires DEEPLIO_NUM_PROCESSES and "
+                "DEEPLIO_PROCESS_ID (or pass num_processes/process_id)")
         kwargs = dict(coordinator_address=coordinator,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
@@ -63,22 +67,6 @@ def maybe_initialize(coordinator: Optional[str] = None,
         jax.process_index(), jax.process_count(),
         len(jax.devices()), len(jax.local_devices()))
     return True
-
-
-def process_slice(global_batch_size: int) -> Tuple[int, int]:
-    """(start, size) of this process's rows within a global batch.
-
-    Mesh rows are laid out in jax.devices() order, which enumerates
-    process 0's devices first — so process p owns the contiguous row block
-    [p*local : (p+1)*local) of any batch sharded over the data axis.
-    """
-    pc, pi = jax.process_count(), jax.process_index()
-    if global_batch_size % pc:
-        raise ValueError(
-            f"global batch {global_batch_size} not divisible by "
-            f"{pc} processes")
-    local = global_batch_size // pc
-    return pi * local, local
 
 
 def is_primary() -> bool:

@@ -41,15 +41,18 @@ class CheckpointManager:
         if not force and (self.save_every_steps <= 0
                           or step % self.save_every_steps != 0):
             return False
-        if step in (self._mgr.all_steps() or []):
-            # A periodic/best save already wrote this step (orbax raises
-            # StepAlreadyExistsError on a duplicate).
+        if step in (self._mgr.all_steps() or []) or \
+                step == getattr(self, "_last_dispatched", None):
+            # A periodic/best save already wrote (or is still async-writing)
+            # this step — orbax raises StepAlreadyExistsError on a
+            # duplicate, and all_steps() only sees FINALIZED step dirs.
             return False
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(jax.device_get(state)),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
+        self._last_dispatched = step
         return True
 
     def latest_step(self) -> Optional[int]:

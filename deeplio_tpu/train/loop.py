@@ -158,12 +158,15 @@ class Trainer:
             os.path.join(workdir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
             save_every_steps=cfg.train.checkpoint_every_steps)
+        self._meta_path = os.path.join(workdir, "trainer_meta.json")
+        resumed = False
         if resume:
             latest = self.ckpt.latest_step()
             if latest is not None:
                 restored = self.ckpt.restore(self.state)
                 self.state = replicate(self.mesh, restored)
                 self.log.info("resumed from step %d", latest)
+                resumed = True
 
         self.metrics = (MetricsWriter(os.path.join(workdir, "metrics.jsonl"))
                         if self.primary else _NullMetrics())
@@ -173,6 +176,20 @@ class Trainer:
         # force a per-step host sync and defeat async dispatch.
         self._host_step = self.step
         self._epochs_done = 0
+        if resumed:
+            # Restore host-side trainer state too — otherwise the best-model
+            # snapshot gets clobbered by the first (worse) post-resume val,
+            # shuffle seeds replay from epoch 0, and the plateau controller
+            # forgets its decayed lr (and would RAISE the lr on the next
+            # plateau event).
+            try:
+                with open(self._meta_path) as f:
+                    meta = json.load(f)
+                self.best_val = float(meta.get("best_val", self.best_val))
+                self._epochs_done = int(meta.get("epochs_done", 0))
+                self.plateau.restore_state(meta.get("plateau"))
+            except FileNotFoundError:
+                pass
 
     @property
     def step(self) -> int:
@@ -248,10 +265,22 @@ class Trainer:
                                     self.state.params, overwrite=True)
                         self.ckpt.maybe_save(self.state, metrics=val,
                                              force=True, step=self._host_step)
+                    self._write_meta()
             self._epochs_done = epoch + 1
+            self._write_meta()
         self.ckpt.maybe_save(self.state, force=True, step=self._host_step)
         self.ckpt.wait()
         return self.state
+
+    def _write_meta(self):
+        if not self.primary:
+            return
+        tmp = self._meta_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"best_val": self.best_val,
+                       "epochs_done": self._epochs_done,
+                       "plateau": self.plateau.state_dict()}, f)
+        os.replace(tmp, self._meta_path)
 
     def validate(self) -> Dict[str, float]:
         cfg = self.cfg

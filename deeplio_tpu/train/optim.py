@@ -88,6 +88,16 @@ class PlateauController:
         self.bad = 0
         self.lr = cfg.lr
 
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "bad": self.bad}
+
+    def restore_state(self, d) -> None:
+        if not d:
+            return
+        self.lr = float(d.get("lr", self.lr))
+        self.best = float(d.get("best", self.best))
+        self.bad = int(d.get("bad", self.bad))
+
     def observe(self, val_loss: float, opt_state):
         """Returns (possibly updated) opt_state."""
         if not self.enabled:

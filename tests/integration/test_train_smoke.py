@@ -103,3 +103,24 @@ def test_whole_model_pretrained_load(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), trained, loaded)
     t2.close()
+
+
+def test_resume_restores_trainer_meta(tmp_path):
+    """best_val / epochs_done / plateau state survive a restart — without
+    them the first post-resume validation clobbers the best snapshot,
+    shuffle seeds replay from epoch 0, and a decayed plateau lr jumps
+    back up (round-2 review findings)."""
+    cfg = load_config("configs/deepio_synth.yaml")
+    cfg = _small(cfg, epochs=1, batch_size=8, checkpoint_every_steps=5,
+                 log_every=100)
+    wd = str(tmp_path / "run")
+    t = Trainer(cfg, workdir=wd)
+    t.fit(epochs=2)
+    best, epochs = t.best_val, t._epochs_done
+    assert np.isfinite(best) and epochs == 2
+    t.close()
+
+    t2 = Trainer(cfg, workdir=wd, resume=True)
+    assert t2.best_val == best
+    assert t2._epochs_done == 2
+    t2.close()

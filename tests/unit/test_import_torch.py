@@ -197,3 +197,39 @@ class TestStructuralImport:
                                          name_map=name_map)
         np.testing.assert_allclose(params["head"]["kernel"],
                                    np.asarray(v["params"]["head"]["kernel"]))
+
+
+class TestSquareDeconv:
+    """in==out ConvTranspose is shape-ambiguous with Conv — the flax path
+    must disambiguate (every deconv in this family is auto-named
+    ConvTranspose_k). Regression for the silent wrong-layout import."""
+
+    def test_square_deconv_numerics(self, rng):
+        import flax.linen as nn
+
+        class FlaxUp(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.ConvTranspose(8, (1, 4), strides=(1, 2),
+                                        padding="SAME")(x)
+
+        class TorchUp(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.up = torch.nn.ConvTranspose2d(
+                    8, 8, (1, 4), stride=(1, 2), padding=(0, 1))
+
+            def forward(self, x):
+                return self.up(x)
+
+        img = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
+        fm = FlaxUp()
+        v = fm.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        tm = TorchUp()
+        params, _ = it.import_state_dict(
+            tm.state_dict(), v["params"],
+            name_map=lambda path: "up")
+        out = fm.apply({"params": it.as_jax(params)}, jnp.asarray(img))
+        with torch.no_grad():
+            ty = tm(_nchw(img)).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(out), ty, atol=1e-5)
