@@ -22,6 +22,14 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden.json")
 
 CFG = {
     "arch": "deeplio",
+    # lidar/imu/fusion nets are declared explicitly: a lidar arch without
+    # a lidar-feat-net key is now a loud ConfigError (round-2 review fix).
+    "deeplio": {
+        "lidar-feat-net": {"name": "lidar-feat-pointseg"},
+        "imu-feat-net": {"name": "imu-feat-rnn"},
+        "fusion-net": {"type": "soft"},
+        "odom-feat-net": {"name": "odom-feat-rnn"},
+    },
     "datasets": {
         "synthetic": True,
         "sequence-size": 3,
