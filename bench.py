@@ -5,11 +5,22 @@ chips, steady-state, on the flagship DeepLIO config (PointSeg encoder,
 64x1024x5 range images from 131072-point scans, IMU LSTM, soft fusion, LWS
 loss). The FULL train step runs: device-side spherical projection of every
 window frame, forward, loss, backward, psum, optimizer update. Input
-batches are pre-staged device-resident (4 distinct batches cycled) so the
-number measures the compiled pipeline, not host synthesis of fake data;
-the real host loader sustains this rate via the threaded prefetcher.
+batches are pre-staged device-resident (3 distinct buffers cycled —
+utils/timing.py measurement rule 3) so the number measures the compiled
+pipeline, not host synthesis of fake data; the real host loader sustains
+this rate via the threaded prefetcher.
 
-Prints ONE JSON line:
+Timeout survivability (the round-2 bench produced rc=124 with ZERO output
+— VERDICT.md): this run streams stage-by-stage progress to stderr and
+prints a *provisional* JSON result line as soon as one steady-state window
+(PROVISIONAL_ITERS post-warmup steps) is measured, then refines over the
+full ITERS window and prints the final line. The driver parses the LAST
+JSON line on stdout, so a timeout after the provisional line still yields
+a real number. Startup costs that round 2 paid on-device are moved to the
+host: params are initialised on the CPU backend with a reduced-width probe
+(bit-identical — models/zoo.py::init_model_fast) and device_put once.
+
+Prints JSON lines of the form:
     {"metric": "frame_pairs_per_sec_per_chip", "value": N,
      "unit": "pairs/s/chip", "vs_baseline": N / 5000.0}
 (5000 pairs/s/chip is the BASELINE.json north-star target; the upstream
@@ -19,63 +30,155 @@ reference publishes no numbers — BASELINE.md.)
 from __future__ import annotations
 
 import json
+import signal
+import sys
 import time
 
-import jax
-import numpy as np
-import yaml
+_T0 = time.time()
+_EMITTED = False
 
-from __graft_entry__ import _FLAGSHIP, _raw_batch
-from deeplio_tpu.config import load_config_dict
-from deeplio_tpu.losses import init_loss_params
-from deeplio_tpu.models import init_model
-from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
-from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(value: float, provisional: bool) -> None:
+    global _EMITTED
+    line = {
+        "metric": "frame_pairs_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / TARGET, 4),
+    }
+    if provisional:
+        line["provisional"] = True
+    print(json.dumps(line), flush=True)
+    _EMITTED = True
+
+
+def _on_signal(signum, frame):
+    _log(f"received signal {signum}; "
+         + ("a provisional result is already on stdout" if _EMITTED
+            else "NO result was measured yet"))
+    sys.exit(0 if _EMITTED else 1)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
+_log("importing jax + deeplio_tpu ...")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import yaml  # noqa: E402
+
+from __graft_entry__ import _FLAGSHIP, _raw_batch  # noqa: E402
+from deeplio_tpu.config import load_config_dict  # noqa: E402
+from deeplio_tpu.losses import init_loss_params  # noqa: E402
+from deeplio_tpu.models import init_model_fast  # noqa: E402
+from deeplio_tpu.parallel import make_mesh, replicate, shard_batch  # noqa: E402
+from deeplio_tpu.train import (build_train_step, create_train_state,  # noqa: E402
+                               make_optimizer)
+
+_log("imports done")
 
 BATCH = 16
 WARMUP = 3
+PROVISIONAL_ITERS = 4
 ITERS = 20
+N_BATCHES = 3  # distinct staged input buffers (>=3: measurement rule 3)
 TARGET = 5000.0
+
+
+def _sync_scalar(x) -> float:
+    # NOTE: on the axon backend jax.block_until_ready can return before the
+    # computation finishes; jax.device_get of a value is the reliable sync.
+    return float(jax.device_get(x))
 
 
 def main():
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     n_chips = len(jax.devices())
     mesh = make_mesh(data=-1)
+    _log(f"devices: {n_chips} x {jax.devices()[0].device_kind}")
 
     tx = make_optimizer(cfg.optim, 1000)
-    model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
-    state = create_train_state(variables, init_loss_params(cfg.loss), tx,
-                               jax.random.PRNGKey(1))
+    # ALL host-side setup runs on the CPU backend: a single stray eager op
+    # on the axon device costs a ~30 s relay round-trip — or minutes when
+    # the relay is degraded (observed: PRNGKey creation blocking 660 s on
+    # a wedged relay). The only device interactions below are device_put
+    # transfers and the one jitted train_step.
+    #
+    # Probe init (bit-identical params, verified against full-size
+    # eval_shape) replaces the ~124 s on-device init program of round 2.
+    # The persistent cache is disabled around the CPU work: CPU AOT
+    # artifacts are host-feature-specific, and both writing them to and
+    # loading them from the repo-persisted cache risks cross-machine
+    # SIGILL (observed cpu_aot_loader feature-mismatch errors otherwise).
+    old_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
+                                           axis_name="data", probe_width=64)
+        _log("model params initialised on host CPU")
+        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                                   jax.random.PRNGKey(1))
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+
+    _log("probing device transfer (hangs here = wedged TPU relay) ...")
+    t = time.time()
+    jax.device_get(jax.device_put(np.ones(8, np.float32), jax.devices()[0]))
+    _log(f"relay round-trip ok in {time.time() - t:.1f}s")
+
     state = replicate(mesh, state)
+    jax.block_until_ready(state.params)
+    _log("train state transferred to device")
+
     train_step, _ = build_train_step(cfg, model, tx, mesh)
 
     batch_size = BATCH * n_chips
-    batches = [shard_batch(mesh, _raw_batch(cfg, batch_size, seed=s))
-               for s in range(4)]
+    # One host synthesis (the ring-layout generator is the expensive part),
+    # then batch-axis rolls for distinct staged buffers.
+    raw = _raw_batch(cfg, batch_size, seed=0)
+    batches = []
+    for s in range(N_BATCHES):
+        rolled = {k: np.roll(v, s, axis=0) for k, v in raw.items()}
+        batches.append(shard_batch(mesh, rolled))
+        jax.block_until_ready(batches[-1]["points"])
+        _log(f"staged device batch {s + 1}/{N_BATCHES}")
 
     for i in range(WARMUP):
-        state, m = train_step(state, batches[i % 4])
-    # NOTE: on the axon backend jax.block_until_ready can return before the
-    # computation finishes; jax.device_get of a value is the reliable sync.
-    assert np.isfinite(float(jax.device_get(m["loss"])))
-
-    t0 = time.time()
-    for i in range(ITERS):
-        state, m = train_step(state, batches[i % 4])
-    final_loss = float(jax.device_get(m["loss"]))  # forces the full chain
-    dt = (time.time() - t0) / ITERS
-    assert np.isfinite(final_loss)
-    assert int(jax.device_get(state.step)) == WARMUP + ITERS
+        _log(f"warmup step {i + 1}/{WARMUP} dispatched"
+             + (" (first call: compile-or-load of the step executable; "
+                "minutes-scale through the axon relay)" if i == 0 else ""))
+        state, m = train_step(state, batches[i % N_BATCHES])
+        loss = _sync_scalar(m["loss"])
+        _log(f"warmup step {i + 1} done, loss={loss:.4f}")
+    assert np.isfinite(loss)
 
     pairs = batch_size * cfg.datasets.num_pairs
-    value = pairs / dt / n_chips
-    print(json.dumps({
-        "metric": "frame_pairs_per_sec_per_chip",
-        "value": round(value, 1),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(value / TARGET, 4),
-    }))
+    done = WARMUP
+
+    def window(n_iters: int) -> float:
+        nonlocal state, done
+        t0 = time.time()
+        for i in range(n_iters):
+            state, m = train_step(state, batches[(done + i) % N_BATCHES])
+        final_loss = _sync_scalar(m["loss"])  # forces the full chain
+        dt = (time.time() - t0) / n_iters
+        done += n_iters
+        assert np.isfinite(final_loss)
+        return pairs / dt / n_chips
+
+    v1 = window(PROVISIONAL_ITERS)
+    _log(f"provisional window ({PROVISIONAL_ITERS} iters): {v1:.1f} pairs/s/chip")
+    _emit(v1, provisional=True)
+
+    v2 = window(ITERS - PROVISIONAL_ITERS)
+    assert int(_sync_scalar(state.step)) == WARMUP + ITERS
+    _log(f"final window ({ITERS - PROVISIONAL_ITERS} iters): {v2:.1f} pairs/s/chip")
+    _emit(v2, provisional=False)
 
 
 if __name__ == "__main__":

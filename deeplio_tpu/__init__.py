@@ -33,6 +33,31 @@ Package layout:
 __version__ = "0.1.0"
 
 
+def host_cache_tag() -> str:
+    """Short fingerprint of this host's CPU target (arch + feature flags).
+
+    CPU AOT executables in the persistent JAX cache are only valid on hosts
+    with compatible machine features — loading one compiled elsewhere risks
+    SIGILL (observed as ``cpu_aot_loader`` feature-mismatch warnings in the
+    round-2 multichip dryrun). Any CPU-backend cache directory must embed
+    this tag so each host population gets its own namespace.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
 def _enable_persistent_jit_cache() -> None:
     """Point JAX's persistent compilation cache at a repo-local directory.
 
@@ -40,13 +65,17 @@ def _enable_persistent_jit_cache() -> None:
     backend; the persistent cache makes every CLI/bench/test re-run after
     the first load its executables from disk. Opt-out/override with
     DEEPLIO_JAX_CACHE (empty string disables); a user-set
-    ``jax_compilation_cache_dir`` is respected.
+    ``jax_compilation_cache_dir`` is respected. A literal ``{host}`` in the
+    path expands to :func:`host_cache_tag` (used by CPU-backend runs, whose
+    AOT artifacts are host-feature-specific).
     """
     import os
 
     path = os.environ.get("DEEPLIO_JAX_CACHE")
     if path == "":
         return
+    if path is not None and "{host}" in path:
+        path = path.replace("{host}", host_cache_tag())
     try:
         import jax
 

@@ -49,6 +49,19 @@ def predict_drive(cfg: Config, eval_step, state, mesh, drive: Drive,
     dx_out = np.full((n_pairs, 3), np.nan, np.float32)
     dq_out = np.full((n_pairs, 4), np.nan, np.float32)
 
+    # Multi-process: every process derives the same padded global batch
+    # index list, assembles only its contiguous row block (matching the
+    # mesh's jax.devices() row layout — WindowDataset.iter_batches), and
+    # the prefetcher stitches blocks into one global array. Predictions
+    # come back replicated (eval_step all_gathers them), so the global
+    # indexing below is identical on every host.
+    proc_count = jax.process_count()
+    proc_index = jax.process_index()
+    # bs is a multiple of the data-axis size, which every process divides.
+    assert bs % proc_count == 0, (bs, proc_count)
+    local_bs = bs // proc_count
+    lo = proc_index * local_bs
+
     def batches():
         # Thread-parallel item assembly: stride-1 eval windows make this the
         # heaviest host path (a 4,500-frame drive = 4,500 window builds);
@@ -58,15 +71,15 @@ def predict_drive(cfg: Config, eval_step, state, mesh, drive: Drive,
         idxs = list(range(len(ds)))
         with ThreadPoolExecutor(max_workers=8) as pool:
             for b0 in range(0, len(idxs), bs):
-                sel = idxs[b0:b0 + bs]
-                pad = bs - len(sel)
+                gsel = idxs[b0:b0 + bs]
+                gsel.extend(gsel[-1:] * (bs - len(gsel)))  # pad tail batch
+                sel = gsel[lo:lo + local_bs]
                 items = list(pool.map(ds.get, sel))
-                if pad:
-                    items.extend(items[-1:] * pad)
                 yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     starts_done = 0
-    for batch in DevicePrefetcher(batches(), mesh, depth=2):
+    for batch in DevicePrefetcher(batches(), mesh, depth=2,
+                                  global_batch_size=bs):
         x, q, _ = eval_step(state, batch)
         x = np.asarray(jax.device_get(x))
         q = np.asarray(jax.device_get(q))

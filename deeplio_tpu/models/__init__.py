@@ -7,4 +7,5 @@ from deeplio_tpu.models.zoo import (
     build_model,
     example_batch,
     init_model,
+    init_model_fast,
 )

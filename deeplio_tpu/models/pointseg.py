@@ -164,13 +164,18 @@ class PointSegNet(nn.Module):
         dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)
         if self.num_classes is None:
             return dec
-        if (self.h_stride, self.w_stride) != (1, 2):
-            raise ValueError(
-                "the segmentation classifier head's single width-2 upsample "
-                "restores full resolution only for h_stride=1/w_stride=2; "
-                f"got ({self.h_stride}, {self.w_stride})")
-        up = nn.ConvTranspose(64, (1, 4), strides=(1, 2), padding="SAME",
-                              dtype=self.dtype)(dec)       # back to full W
+        # The decoder restores the stem's grid (H/h_stride x W/w_stride in
+        # every pool mode); one transposed conv with the stem's strides
+        # brings it back to full resolution. Kernel (1, 4) is kept for the
+        # default (1, 2) so existing checkpoints keep their param shapes.
+        if (self.h_stride, self.w_stride) == (1, 2):
+            kernel = (1, 4)
+        else:
+            kernel = (1 if self.h_stride == 1 else 2 * self.h_stride,
+                      2 * self.w_stride)
+        up = nn.ConvTranspose(64, kernel,
+                              strides=(self.h_stride, self.w_stride),
+                              padding="SAME", dtype=self.dtype)(dec)
         logits = nn.Conv(self.num_classes, (1, 1), padding="SAME",
                          dtype=jnp.float32)(up)
         return logits

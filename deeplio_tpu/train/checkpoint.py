@@ -41,18 +41,31 @@ class CheckpointManager:
         if not force and (self.save_every_steps <= 0
                           or step % self.save_every_steps != 0):
             return False
-        if step in (self._mgr.all_steps() or []) or \
-                step == getattr(self, "_last_dispatched", None):
+        exists = step in (self._mgr.all_steps() or []) or \
+            step == getattr(self, "_last_dispatched", None)
+        if exists:
             # A periodic/best save already wrote (or is still async-writing)
             # this step — orbax raises StepAlreadyExistsError on a
             # duplicate, and all_steps() only sees FINALIZED step dirs.
-            return False
+            # Exception: a FORCED save carrying metrics must not be lost to
+            # a metrics-less periodic dispatch at the same step (the orbax
+            # manager's best-tracking would never see that validation) —
+            # wait for the in-flight write and overwrite it.
+            if not (force and metrics
+                    and not getattr(self, "_dispatched_metrics", {}).get(step)):
+                return False
+            self.wait()
+            if step in (self._mgr.all_steps() or []):
+                self._mgr.delete(step)
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(jax.device_get(state)),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
         self._last_dispatched = step
+        if not hasattr(self, "_dispatched_metrics"):
+            self._dispatched_metrics = {}
+        self._dispatched_metrics[step] = bool(metrics)
         return True
 
     def latest_step(self) -> Optional[int]:

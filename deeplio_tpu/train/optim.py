@@ -122,11 +122,19 @@ def _set_injected_lr(opt_state, new_lr: float):
     anywhere in a (possibly chained) opt_state tuple."""
     import jax.numpy as jnp
 
+    import jax
+
     if hasattr(opt_state, "hyperparams") and \
             "learning_rate" in opt_state.hyperparams:
         hp = dict(opt_state.hyperparams)
         old = hp["learning_rate"]
-        hp["learning_rate"] = jnp.asarray(new_lr, dtype=old.dtype)
+        new = jnp.asarray(new_lr, dtype=old.dtype)
+        # Keep the leaf's global (replicated) sharding: a host-local array
+        # in a donated multi-host train_step input would mismatch the
+        # expected layout (single-host jit reshards; multi-host cannot).
+        if hasattr(old, "sharding"):
+            new = jax.device_put(new, old.sharding)
+        hp["learning_rate"] = new
         return opt_state._replace(hyperparams=hp)
     if isinstance(opt_state, tuple):
         parts = [_set_injected_lr(s, new_lr) for s in opt_state]

@@ -85,6 +85,8 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
                       dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
                       else jnp.float32,
                       with_se=lc.se if lc else True,
+                      h_stride=lc.h_stride if lc else 1,
+                      w_stride=lc.w_stride if lc else 2,
                       el_squeeze=lc.el_squeeze if lc else 0,
                       stem=lc.stem if lc else "classic",
                       fire=lc.fire if lc else "classic",
@@ -133,7 +135,12 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
                                     proj_cfg.fov_down_deg, packed=False)
             lab = jnp.round(imgl[..., 3]).astype(jnp.int32)
             lab = jnp.where(mask5 > 0.5, lab, 0)
-            lab = jnp.clip(lab, 0, num_classes - 1)
+            if label_lut is None:
+                # No label-map: raw SemanticKITTI ids (10..259) must become
+                # 0/unlabeled, NOT be clipped onto the top train id.
+                lab = jnp.where((lab >= 0) & (lab < num_classes), lab, 0)
+            else:
+                lab = jnp.clip(lab, 0, num_classes - 1)
             return x, lab
         return x, geometric_labels(img5, mask5)
 

@@ -131,6 +131,12 @@ def build_train_step(
             cfg.loss, state.loss_params, x_pred, q_pred,
             raw["x_gt"], raw["q_gt"], raw.get("valid"))
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        # Predictions come back REPLICATED (tiled all_gather over the data
+        # axis): multi-host trajectory evaluation device_gets them on every
+        # process, and P(data)-sharded outputs are not addressable off
+        # their owning host. The gathered arrays are tiny ([B, P, 3/4]).
+        x_pred = jax.lax.all_gather(x_pred, DATA_AXIS, axis=0, tiled=True)
+        q_pred = jax.lax.all_gather(q_pred, DATA_AXIS, axis=0, tiled=True)
         return x_pred, q_pred, metrics
 
     train_step = jax.jit(
@@ -146,7 +152,7 @@ def build_train_step(
         jax.shard_map(
             _eval_step, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
     )

@@ -12,11 +12,12 @@ import pathlib
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-# Separate persistent-compile-cache namespace for CPU runs: mixing CPU AOT
-# artifacts across the axon terminal's and the host's CPU targets triggers
-# feature-mismatch warnings/SIGILL risk (deeplio_tpu/__init__.py).
+# Separate persistent-compile-cache namespace for CPU runs, keyed by a
+# host-CPU-feature fingerprint ({host} expands in deeplio_tpu.__init__):
+# CPU AOT artifacts loaded on a host with different machine features risk
+# SIGILL (round-2 multichip dryrun tail).
 os.environ.setdefault("DEEPLIO_JAX_CACHE", str(
-    pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_cpu"))
+    pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_cpu-{host}"))
 
 import jax  # noqa: E402
 

@@ -187,3 +187,20 @@ def test_config_stem_fire_keys():
         LidarFeatConfig.from_dict("lidar-feat-pointseg", {"stem": "bogus"})
     with pytest.raises(ConfigError):
         LidarFeatConfig.from_dict("lidar-feat-pointseg", {"fire": "bogus"})
+
+
+@pytest.mark.parametrize("arch", ["deepio", "deeplio"])
+def test_init_model_fast_bit_identical(arch):
+    """init_model_fast's reduced-width probe must yield the exact params of
+    the full-size init (initializers depend only on rng + shape)."""
+    from deeplio_tpu.models import init_model_fast
+
+    cfg = _cfg(arch, lidar="lidar-feat-pointseg")
+    _, ref = init_model(cfg, jax.random.PRNGKey(7))
+    _, fast = init_model_fast(cfg, jax.random.PRNGKey(7), probe_width=32)
+    ref_flat = jax.tree_util.tree_leaves_with_path(ref)
+    fast_flat = jax.tree_util.tree_leaves_with_path(fast)
+    assert [p for p, _ in ref_flat] == [p for p, _ in fast_flat]
+    for (path, a), (_, b) in zip(ref_flat, fast_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
