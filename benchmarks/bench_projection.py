@@ -73,10 +73,20 @@ def main():
         "ring-carry-f16": lambda p, v: reduce(
             *proj.project_batch_ring(p, v, H, W, FU, FD, payload="carry-f16")),
     }
+    if jax.default_backend() == "tpu":
+        # The production Mosaic kernel + its lane-width sweep (the [R,
+        # LANES] working view: wider lanes halve the sequential loop
+        # counts, narrower ones shrink the per-roll vectors).
+        for lanes in (1024, 2048, 4096):
+            backends[f"pallas-ring-l{lanes}"] = (
+                lambda p, v, l=lanes: reduce(
+                    *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
+                                                    lanes=l)))
     for name, fn in backends.items():
         jfn = jax.jit(fn)
         dt = measure(jfn, inputs)
-        print(f"{name:24s} {b / dt:9.1f} scans/s   ({dt * 1e3 / b:6.3f} ms/scan)")
+        print(f"{name:24s} {b / dt:9.1f} scans/s   ({dt * 1e3 / b:6.3f} ms/scan)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""A/B flagship tower knobs through the FULL bench.py protocol.
+
+Each variant is a set of overrides of the flagship's `lidar-feat-pointseg`
+block; the full train step (projection+fwd+loss+bwd+update) is timed with
+the bench.py measurement rules. Decision records feed docs/performance.md.
+
+    python benchmarks/bench_stem_ab.py stem=factorized fire=mixed -- \
+        stem=classic            # "--" separates variants
+    python benchmarks/bench_stem_ab.py --iters 20 stem=factorized
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+import yaml
+
+from __graft_entry__ import _FLAGSHIP, _raw_batch
+from deeplio_tpu.config import load_config_dict
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model_fast
+from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+
+BATCH = 16
+
+
+def _parse_val(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def run_variant(overrides: dict, iters: int, batches_np) -> float:
+    d = yaml.safe_load(_FLAGSHIP)
+    d["lidar-feat-pointseg"].update(overrides)
+    cfg = load_config_dict(d)
+    mesh = make_mesh(data=-1)
+    n_chips = len(jax.devices())
+    tx = make_optimizer(cfg.optim, 1000)
+    old_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
+                                           axis_name="data", probe_width=64)
+        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                                   jax.random.PRNGKey(1))
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+    state = replicate(mesh, state)
+    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    batches = [shard_batch(mesh, b) for b in batches_np]
+
+    for i in range(3):
+        state, m = train_step(state, batches[i % len(batches)])
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+
+    t0 = time.time()
+    for i in range(iters):
+        state, m = train_step(state, batches[i % len(batches)])
+    loss = float(jax.device_get(m["loss"]))
+    dt = (time.time() - t0) / iters
+    assert np.isfinite(loss)
+    pairs = BATCH * n_chips * cfg.datasets.num_pairs
+    rate = pairs / dt / n_chips
+    tag = " ".join(f"{k}={v}" for k, v in overrides.items()) or "flagship"
+    print(f"{tag:40s}: {dt*1e3:7.1f} ms/step  {rate:7.1f} pairs/s/chip",
+          flush=True)
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("spec", nargs="*",
+                    help="key=value overrides; separate variants with --")
+    args = ap.parse_args()
+
+    variants, cur = [], {}
+    for tok in args.spec:
+        if tok == "--":
+            variants.append(cur)
+            cur = {}
+        else:
+            k, v = tok.split("=", 1)
+            cur[k] = _parse_val(v)
+    variants.append(cur)
+
+    cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
+    n_chips = len(jax.devices())
+    raw = _raw_batch(cfg, BATCH * n_chips, seed=0)
+    batches_np = [{k: np.roll(v, s, axis=0) for k, v in raw.items()}
+                  for s in range(3)]
+
+    for over in variants:
+        run_variant(over, args.iters, batches_np)
+
+
+if __name__ == "__main__":
+    main()

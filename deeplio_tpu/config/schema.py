@@ -264,6 +264,10 @@ class LidarFeatConfig:
     # stem="s2d": space-to-depth stem (models/pointseg.py), fire="fused":
     # single-conv Fire modules (models/blocks.py) — TPU bandwidth knobs;
     # classic forms remain the reference-shaped defaults.
+    # stem="factorized": run the stem conv PER FRAME (C -> 2*64 channels)
+    # and sum u_i + v_j per pair on the downsampled grid — the full-res
+    # pair stack never materializes (models/blocks.py::FactorizedStem;
+    # equal math to classic by conv linearity, pointseg-only).
     stem: str = "classic"
     fire: str = "classic"
     # pool="cheap": (1,2)-window max pools; pool="stride": no pools, the
@@ -281,10 +285,12 @@ class LidarFeatConfig:
         if part not in ("encoder", "encoder+decoder"):
             raise ConfigError(
                 f"part must be encoder|encoder+decoder, got {part!r}")
-        if stem not in ("classic", "s2d"):
-            raise ConfigError(f"stem must be classic|s2d, got {stem!r}")
-        if fire not in ("classic", "fused"):
-            raise ConfigError(f"fire must be classic|fused, got {fire!r}")
+        if stem not in ("classic", "s2d", "factorized"):
+            raise ConfigError(
+                f"stem must be classic|s2d|factorized, got {stem!r}")
+        if fire not in ("classic", "fused", "mixed"):
+            raise ConfigError(
+                f"fire must be classic|fused|mixed, got {fire!r}")
         if pool not in ("classic", "cheap", "stride"):
             raise ConfigError(
                 f"pool must be classic|cheap|stride, got {pool!r}")

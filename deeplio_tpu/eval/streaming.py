@@ -42,6 +42,20 @@ class StreamingOdometry:
         self._img_shape = (H, W, C)
         self._uses_imu = cfg.model.arch == "deeplio"
         model_ = model
+        lc = cfg.model.lidar
+        factorized = lc is not None and lc.stem == "factorized"
+        if factorized:
+            # The factorized stem gathers pairs by the model's STATIC
+            # combos; streaming is a 2-frame window with the single pair
+            # (0, 1). Rebuild the module with streaming combos — the param
+            # tree is combo-independent, so the trained variables apply.
+            import dataclasses
+
+            from deeplio_tpu.models.zoo import build_model
+            scfg = dataclasses.replace(
+                cfg, datasets=dataclasses.replace(
+                    cfg.datasets, sequence_size=2, combinations=((0, 1),)))
+            model_ = build_model(scfg, axis_name=None)
         variables_ = variables
         projector = self.projector
         uses_imu = self._uses_imu
@@ -50,7 +64,11 @@ class StreamingOdometry:
             prev_img, pose, started = carry
             img, mask = projector(inp["points"][None], inp["valid"][None])
             img = img[0]
-            mb = {"images": jnp.concatenate([prev_img, img], -1)[None, None]}
+            if factorized:
+                mb = {"frames": jnp.stack([prev_img, img])[None]}
+            else:
+                mb = {"images":
+                      jnp.concatenate([prev_img, img], -1)[None, None]}
             if uses_imu:
                 mb["imu"] = inp["imu"][None, None]
                 mb["imu_mask"] = inp["imu_mask"][None, None]

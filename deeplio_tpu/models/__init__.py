@@ -6,6 +6,7 @@ from deeplio_tpu.models.zoo import (
     DeepLO,
     build_model,
     example_batch,
+    factorize_stem_variables,
     init_model,
     init_model_fast,
 )

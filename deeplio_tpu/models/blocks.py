@@ -96,6 +96,53 @@ class Fire(nn.Module):
         return nn.relu(jnp.concatenate([e1, e3], axis=-1))
 
 
+class FactorizedStem(nn.Module):
+    """Frame-factorized pair stem: conv(concat(a_i, a_j)) == A*a_i + B*a_j.
+
+    The classic stem convolves every PAIR-stacked image ([B*P, H, W, 2C])
+    at FULL resolution: with S-frame windows each interior frame is
+    convolved twice and the [B, P, H, W, 2C] pair stack is the train
+    step's largest materialization. Convolution is linear in its input
+    channels, so the 2C->F stem kernel splits into two C->F halves and the
+    stem can run PER FRAME instead: one conv C -> 2F over the S frames
+    (output channels [0:F] = the first-frame half-kernel A, [F:2F] = the
+    second-frame half B), then each pair (i, j) sums u_i + v_j on the
+    stem's DOWNSAMPLED grid, before the shared BN/ReLU. Identical math to
+    the classic stem (weight-transplant parity test in
+    tests/unit/test_models.py), different param layout ([kh,kw,C,2F] vs
+    [kh,kw,2C,F] — models/zoo.py::factorize_stem_variables converts).
+
+    Input: frames [B, S, H, W, C]. Output: [B*P, H', W', F] with P =
+    len(combos), pairs ordered as given (matching the classic pair stack).
+    """
+
+    combos: Tuple[Tuple[int, int], ...]
+    features: int = 64
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, frames, train: bool = True):
+        b, s = frames.shape[0], frames.shape[1]
+        flat = frames.reshape((b * s,) + frames.shape[2:])
+        y = nn.Conv(2 * self.features, self.kernel, self.strides,
+                    padding="SAME", use_bias=not self.use_bn,
+                    dtype=self.dtype)(flat)
+        y = y.reshape((b, s) + y.shape[1:])
+        u = y[..., :self.features]
+        v = y[..., self.features:]
+        pre = jnp.stack([u[:, i] + v[:, j] for (i, j) in self.combos], axis=1)
+        pre = pre.reshape((b * len(self.combos),) + pre.shape[2:])
+        if self.use_bn:
+            pre = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                               dtype=self.dtype,
+                               axis_name=self.axis_name)(pre)
+        return nn.relu(pre)
+
+
 def space_to_depth(x, h: int, w: int):
     """[B, H, W, C] -> [B, H//h, W//w, h*w*C] block reshape (NHWC)."""
     b, H, W, c = x.shape

@@ -47,6 +47,7 @@ class LidarPointSegFeat(nn.Module):
     se: bool = True
     el_squeeze: int = 0
     stem: str = "classic"
+    combos: tuple = ()  # factorized-stem pairs (stem="factorized" only)
     fire: str = "classic"
     pool: str = "classic"
 
@@ -56,7 +57,8 @@ class LidarPointSegFeat(nn.Module):
                           axis_name=self.axis_name, with_se=self.se,
                           h_stride=self.h_stride, w_stride=self.w_stride,
                           el_squeeze=self.el_squeeze,
-                          stem=self.stem, fire=self.fire, pool=self.pool,
+                          stem=self.stem, combos=self.combos,
+                          fire=self.fire, pool=self.pool,
                           name="pointseg")
         feat = net(x, train)                     # [B, H, W', C']
         # Reduce: two strided convs then spatial mean -> Dense.

@@ -20,8 +20,10 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deeplio_tpu.models.blocks import (ASPP, ConvBN, Fire, FireDeconv,
-                                       SELayer, space_to_depth)
+from typing import Tuple
+
+from deeplio_tpu.models.blocks import (ASPP, ConvBN, FactorizedStem, Fire,
+                                       FireDeconv, SELayer, space_to_depth)
 
 
 class PointSegEncoder(nn.Module):
@@ -47,7 +49,11 @@ class PointSegEncoder(nn.Module):
     h_stride: int = 1  # 2 = halve laser rows in the stem (TPU fast path)
     w_stride: int = 2  # stem azimuth stride (4 = extra-fast TPU path)
     el_squeeze: int = 0  # >0: bottlenecked EL/ASPP (see blocks.ASPP)
-    stem: str = "classic"  # classic | s2d
+    # "factorized": per-frame stem + pair-sum on the downsampled grid
+    # (blocks.FactorizedStem) — input is then per-FRAME [B, S, H, W, C]
+    # with ``combos`` defining the pairs, instead of the pair stack.
+    stem: str = "classic"  # classic | s2d | factorized
+    combos: Tuple[Tuple[int, int], ...] = ()  # factorized stem pairs
     fire: str = "classic"  # classic | fused
     # pool="cheap": (1,2) window instead of the classic overlapping (3,3)
     # (measured neutral end-to-end). pool="stride": NO pool ops at all —
@@ -60,10 +66,19 @@ class PointSegEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         ax = self.axis_name
-        fused = self.fire == "fused"
 
-        def fire(sq, e1, e3, strides=(1, 1)):
-            return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=fused,
+        # fire="mixed": single-conv Fire for the SHALLOW stages only
+        # (fire2-5), classic factorized Fire for the deep ones. The round-2
+        # audit showed the two regimes: fire6-9/EL run ~MXU-roofline (the
+        # fused form's ~10x FLOPs are NOT free there — fire="fused"
+        # measured 2x worse overall), while fire2-5 run far under roofline
+        # (thin squeeze channels waste the MXU's 128-lane contraction and
+        # the stages are materialization-bound) — there the single wide
+        # conv trades free FLOPs for fewer kernels and no squeeze/expand
+        # intermediates. docs/performance.md has the measurements.
+        def fire(sq, e1, e3, strides=(1, 1), deep=False):
+            f = self.fire == "fused" or (self.fire == "mixed" and not deep)
+            return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=f,
                         strides=strides)
 
         if self.pool == "cheap":
@@ -78,7 +93,12 @@ class PointSegEncoder(nn.Module):
         entry = (1, 2) if self.pool == "stride" else (1, 1)
 
         # Stem: H/h_stride, W/w_stride.
-        if self.stem == "s2d":
+        if self.stem == "factorized":
+            c1 = FactorizedStem(self.combos, 64, (3, 3),
+                                (self.h_stride, self.w_stride),
+                                use_bn=self.use_bn, dtype=self.dtype,
+                                axis_name=ax)(x, train)
+        elif self.stem == "s2d":
             xs = space_to_depth(x, self.h_stride, self.w_stride)
             c1 = ConvBN(64, (2, 2), (1, 1), use_bn=self.use_bn,
                         dtype=self.dtype, axis_name=ax)(xs, train)
@@ -102,10 +122,10 @@ class PointSegEncoder(nn.Module):
         f5 = f5 + f4
         p5 = pool(f5)                                       # W/16
 
-        f6 = fire(48, 192, 192, entry)(p5, train)
-        f7 = fire(48, 192, 192)(f6, train)
-        f8 = fire(64, 256, 256)(f7, train)
-        f9 = fire(64, 256, 256)(f8, train)
+        f6 = fire(48, 192, 192, entry, deep=True)(p5, train)
+        f7 = fire(48, 192, 192, deep=True)(f6, train)
+        f8 = fire(64, 256, 256, deep=True)(f7, train)
+        f9 = fire(64, 256, 256, deep=True)(f8, train)
         el = ASPP(512, squeeze=self.el_squeeze, dtype=self.dtype)(f9)
 
         skips = (c1, f3, f5)  # W/2, W/4, W/8 grids
@@ -148,6 +168,7 @@ class PointSegNet(nn.Module):
     w_stride: int = 2
     el_squeeze: int = 0
     stem: str = "classic"
+    combos: Tuple[Tuple[int, int], ...] = ()
     fire: str = "classic"
     pool: str = "classic"
 
@@ -157,8 +178,8 @@ class PointSegNet(nn.Module):
             dtype=self.dtype, axis_name=self.axis_name, use_bn=self.use_bn,
             with_se=self.with_se, h_stride=self.h_stride,
             w_stride=self.w_stride, el_squeeze=self.el_squeeze,
-            stem=self.stem, fire=self.fire, pool=self.pool,
-            name="encoder")(x, train)
+            stem=self.stem, combos=self.combos, fire=self.fire,
+            pool=self.pool, name="encoder")(x, train)
         if self.part == "encoder" and self.num_classes is None:
             return feat
         dec = PointSegDecoder(self.dtype, name="decoder")(feat, skips, train)

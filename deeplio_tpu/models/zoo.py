@@ -51,14 +51,18 @@ def _flat_pairs(x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
     return x.reshape((b * p,) + x.shape[2:]), (b, p)
 
 
-def _make_lidar_net(cfg: ModelConfig, dtype, axis_name):
+def _make_lidar_net(cfg: ModelConfig, dtype, axis_name, combos=()):
     lc = cfg.lidar
+    if lc.stem == "factorized" and lc.name != "lidar-feat-pointseg":
+        raise ValueError(
+            "stem=factorized is a PointSeg-stem knob; "
+            f"{lc.name!r} has no stem to factorize")
     if lc.name == "lidar-feat-pointseg":
         return LidarPointSegFeat(
             feature_size=lc.feature_size, part=lc.part, dropout=lc.dropout,
             dtype=dtype, axis_name=axis_name, h_stride=lc.h_stride,
             w_stride=lc.w_stride, se=lc.se, el_squeeze=lc.el_squeeze,
-            stem=lc.stem, fire=lc.fire, pool=lc.pool,
+            stem=lc.stem, combos=tuple(combos), fire=lc.fire, pool=lc.pool,
             name="lidar_feat")
     if lc.name == "lidar-feat-simple-0":
         return LidarSimpleFeat0(
@@ -115,17 +119,37 @@ class DeepIO(nn.Module):
         return x.reshape(b, p, 3), q.reshape(b, p, 4)
 
 
+def _lidar_features(cfg: ModelConfig, axis_name, combos, batch: Batch,
+                    dt, train: bool):
+    """Run the lidar tower; returns (feat [B*P, F], (b, p)).
+
+    Factorized-stem configs consume per-FRAME images (``batch["frames"]``
+    [B, S, H, W, C]); everything else the classic pair stack
+    (``batch["images"]`` [B, P, H, W, 2C]).
+    """
+    if cfg.lidar is not None and cfg.lidar.stem == "factorized":
+        frames = batch["frames"]
+        b, p = frames.shape[0], len(combos)
+        feat = _make_lidar_net(cfg, dt, axis_name, combos)(
+            frames.astype(dt), train)
+        return feat, (b, p)
+    imgs, (b, p) = _flat_pairs(batch["images"])
+    feat = _make_lidar_net(cfg, dt, axis_name)(imgs.astype(dt), train)
+    return feat, (b, p)
+
+
 class DeepLO(nn.Module):
     """LiDAR-only odometry: lidar-feat -> odom-feat -> heads."""
 
     cfg: ModelConfig
     axis_name: Optional[str] = None
+    combos: Tuple[Tuple[int, int], ...] = ()
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = True):
         dt = _dtype_of(self.cfg.compute_dtype)
-        imgs, (b, p) = _flat_pairs(batch["images"])
-        feat = _make_lidar_net(self.cfg, dt, self.axis_name)(imgs.astype(dt), train)
+        feat, (b, p) = _lidar_features(self.cfg, self.axis_name, self.combos,
+                                       batch, dt, train)
         feat = feat.reshape(b, p, -1)
         feat = _make_odom_net(self.cfg, dt)(feat, train)
         flat, _ = _flat_pairs(feat)
@@ -138,12 +162,13 @@ class DeepLIO(nn.Module):
 
     cfg: ModelConfig
     axis_name: Optional[str] = None
+    combos: Tuple[Tuple[int, int], ...] = ()
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = True):
         dt = _dtype_of(self.cfg.compute_dtype)
-        imgs, (b, p) = _flat_pairs(batch["images"])
-        lidar = _make_lidar_net(self.cfg, dt, self.axis_name)(imgs.astype(dt), train)
+        lidar, (b, p) = _lidar_features(self.cfg, self.axis_name, self.combos,
+                                        batch, dt, train)
         imu, _ = _flat_pairs(batch["imu"])
         mask, _ = _flat_pairs(batch["imu_mask"])
         imu_f = _make_imu_net(self.cfg, dt)(imu.astype(dt), mask, train)
@@ -159,12 +184,13 @@ class DeepLIO(nn.Module):
 def build_model(cfg: Config, axis_name: Optional[str] = None) -> nn.Module:
     """Factory: config -> flax module (reference ``get_model``)."""
     mc = cfg.model
+    combos = tuple(tuple(c) for c in cfg.datasets.effective_combinations)
     if mc.arch == "deepio":
         return DeepIO(mc, axis_name)
     if mc.arch == "deeplo":
-        return DeepLO(mc, axis_name)
+        return DeepLO(mc, axis_name, combos)
     if mc.arch == "deeplio":
-        return DeepLIO(mc, axis_name)
+        return DeepLIO(mc, axis_name, combos)
     raise ValueError(f"unknown arch '{mc.arch}'")
 
 
@@ -178,7 +204,12 @@ def example_batch(cfg: Config, batch_size: int = 2) -> Batch:
     t = ds.max_imu_per_pair
     batch: Batch = {}
     if cfg.model.arch in ("deeplo", "deeplio"):
-        batch["images"] = jnp.zeros((batch_size, p, h, w, 2 * c), jnp.float32)
+        if cfg.model.lidar is not None and cfg.model.lidar.stem == "factorized":
+            batch["frames"] = jnp.zeros(
+                (batch_size, ds.sequence_size, h, w, c), jnp.float32)
+        else:
+            batch["images"] = jnp.zeros((batch_size, p, h, w, 2 * c),
+                                        jnp.float32)
     if cfg.model.arch in ("deepio", "deeplio"):
         batch["imu"] = jnp.zeros((batch_size, p, t, 6), jnp.float32)
         batch["imu_mask"] = jnp.zeros((batch_size, p, t), jnp.float32)
@@ -220,12 +251,13 @@ def init_model_fast(cfg: Config, rng: jax.Array, batch_size: int = 2,
     expected = jax.eval_shape(lambda b: model.init(rngs, b, train=False), full)
 
     probe = dict(full)
-    if "images" in probe:
-        b, p, h, w, c = probe["images"].shape
-        pw = w
-        while pw > probe_width and pw % 2 == 0:
-            pw //= 2
-        probe["images"] = jnp.zeros((b, p, h, pw, c), jnp.float32)
+    for key in ("images", "frames"):
+        if key in probe:
+            b, p, h, w, c = probe[key].shape
+            pw = w
+            while pw > probe_width and pw % 2 == 0:
+                pw //= 2
+            probe[key] = jnp.zeros((b, p, h, pw, c), jnp.float32)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
@@ -241,3 +273,52 @@ def init_model_fast(cfg: Config, rng: jax.Array, batch_size: int = 2,
     if got != want:  # spatial-size-dependent params somewhere: be exact
         return init_model(cfg, rng, batch_size, axis_name)
     return model, variables
+
+
+def factorize_stem_variables(variables, channels_per_frame: int):
+    """Classic-stem PointSeg variables -> factorized-stem layout.
+
+    The classic stem kernel [kh, kw, 2C, F] splits by input-channel half
+    into the factorized conv's [kh, kw, C, 2F] (first half -> output
+    channels [0:F], second -> [F:2F]); a classic bias b becomes
+    concat([b, 0]) so the pair-sum adds it exactly once. BatchNorm
+    params/stats transfer unchanged. Used to port classic checkpoints
+    (including torch imports, models/import_torch.py) onto a factorized
+    config; numerical parity is tested in tests/unit/test_models.py.
+    """
+    import numpy as np
+
+    def rewrite(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "encoder" and isinstance(v, dict) and "ConvBN_0" in v:
+                enc = dict(v)
+                stem = enc.pop("ConvBN_0")
+                fs = {}
+                if "Conv_0" in stem:
+                    conv = dict(stem["Conv_0"])
+                    kern = np.asarray(conv["kernel"])
+                    C = channels_per_frame
+                    if kern.shape[2] != 2 * C:
+                        raise ValueError(
+                            f"stem kernel has {kern.shape[2]} input channels,"
+                            f" expected 2*{C}")
+                    conv["kernel"] = jnp.concatenate(
+                        [jnp.asarray(kern[:, :, :C]),
+                         jnp.asarray(kern[:, :, C:])], axis=-1)
+                    if "bias" in conv:
+                        b = jnp.asarray(conv["bias"])
+                        conv["bias"] = jnp.concatenate(
+                            [b, jnp.zeros_like(b)])
+                    fs["Conv_0"] = conv
+                if "BatchNorm_0" in stem:
+                    fs["BatchNorm_0"] = stem["BatchNorm_0"]
+                enc["FactorizedStem_0"] = fs
+                out[k] = {kk: rewrite(vv) for kk, vv in enc.items()}
+            else:
+                out[k] = rewrite(v)
+        return out
+
+    return rewrite(dict(variables))

@@ -50,14 +50,15 @@ from deeplio_tpu.ops.projection import (
     spherical_uv,
 )
 
-LANES = 2048         # logical lane width of the [R, LANES] working view;
-                     # wide rows keep the sequential store/gather loops
-                     # short (R + n_pix/LANES iterations dominate overhead)
-LOG_LANES = 11
+LANES = 2048         # default logical lane width of the [R, LANES] working
+                     # view; wide rows keep the sequential store/gather
+                     # loops short (R + n_pix/LANES iterations dominate
+                     # overhead). ``project_batch_ring_pallas(lanes=...)``
+                     # sweeps it (benchmarks/bench_projection.py).
 SENTINEL = np.int32(2**31 - 1)
 
 
-def _ring_kernel(R: int, OUT_R: int,
+def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
                  pix_ref, key_ref, p1_ref, p2_ref,
                  okey_ref, op1_ref, op2_ref,
                  cpix_ref, ckey_ref, cp1_ref, cp2_ref,
@@ -269,17 +270,22 @@ def project_batch_ring_pallas(
     fov_up_deg: float,
     fov_down_deg: float,
     interpret: bool = False,
+    lanes: int = LANES,
 ) -> Tuple[jax.Array, jax.Array]:
     """Same contract as ``project_batch_ring(payload="carry-f16")``.
 
     points [B, N, 4] float32, valid [B, N] bool ->
     (img [B, H, W, 5] float32, mask [B, H, W] float32).
     """
+    LANES_ = int(lanes)
+    if LANES_ & (LANES_ - 1):
+        raise ValueError(f"lanes must be a power of 2, got {LANES_}")
+    LOG_LANES = int(np.log2(LANES_))
     b, n = points.shape[0], points.shape[1]
     n_pix = H * W
-    if n_pix % LANES:
+    if n_pix % LANES_:
         raise ValueError(
-            f"H*W must be a multiple of {LANES} for the ring kernel")
+            f"H*W must be a multiple of {LANES_} for the ring kernel")
     idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
     rq_max = (1 << rq_bits) - 1
 
@@ -298,7 +304,7 @@ def project_batch_ring_pallas(
     # keys: rq_max in the range bits keeps them behind every real point
     # (index bits may spill upward for non-padded n — the key only grows,
     # stays positive, and rq_ok below masks any such "winner").
-    n_pad = (-n) % LANES
+    n_pad = (-n) % LANES_
     if n_pad:
         pad_idx = jnp.arange(n, n + n_pad, dtype=jnp.int32)
         # pad pix = -1: the in-kernel cummax raises it to the running max,
@@ -312,30 +318,30 @@ def project_batch_ring_pallas(
         p1 = jnp.concatenate([p1, zpad], axis=1)
         p2 = jnp.concatenate([p2, zpad], axis=1)
     n_tot = n + n_pad
-    R = n_tot // LANES
-    OUT_R = n_pix // LANES
+    R = n_tot // LANES_
+    OUT_R = n_pix // LANES_
 
-    shape3 = (b, R, LANES)
-    kern = functools.partial(_ring_kernel, R, OUT_R)
+    shape3 = (b, R, LANES_)
+    kern = functools.partial(_ring_kernel, R, OUT_R, LANES_, LOG_LANES)
     okey, op1, op2 = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[pl.BlockSpec((None, R, LANES), lambda s: (s, 0, 0),
+        in_specs=[pl.BlockSpec((None, R, LANES_), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec((None, OUT_R, LANES), lambda s: (s, 0, 0),
+        out_specs=[pl.BlockSpec((None, OUT_R, LANES_), lambda s: (s, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((b, OUT_R, LANES), jnp.int32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, OUT_R, LANES_), jnp.int32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cpix
-            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # ckey
-            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cp1
-            pltpu.VMEM((OUT_R + 2, LANES), jnp.int32),   # cp2
-            pltpu.VMEM((R, LANES), jnp.int32),           # staged wpix
-            pltpu.VMEM((R, LANES), jnp.int32),           # staged wkey
-            pltpu.VMEM((R, LANES), jnp.int32),           # staged w1
-            pltpu.VMEM((R, LANES), jnp.int32),           # staged w2
+            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cpix
+            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # ckey
+            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cp1
+            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cp2
+            pltpu.VMEM((R, LANES_), jnp.int32),           # staged wpix
+            pltpu.VMEM((R, LANES_), jnp.int32),           # staged wkey
+            pltpu.VMEM((R, LANES_), jnp.int32),           # staged w1
+            pltpu.VMEM((R, LANES_), jnp.int32),           # staged w2
             pltpu.VMEM((2 * R, 1), jnp.int32),           # off ++ cnt
-            pltpu.VMEM((OUT_R, LANES), jnp.int32),       # window pix
+            pltpu.VMEM((OUT_R, LANES_), jnp.int32),       # window pix
         ],
         interpret=interpret,
     )(pix.reshape(shape3), mkey.reshape(shape3),

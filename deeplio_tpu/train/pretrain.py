@@ -81,6 +81,10 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
     # pretrained encoder subtree cannot be grafted (param-shape mismatch
     # with e.g. el-squeeze / se / stem / fire / pool settings).
     lc = cfg.model.lidar
+    # Factorized stems pretrain on a standing-still "pair" of the SAME
+    # frame: frames [B, 1, H, W, C] with the single combo (0, 0) — the
+    # conv params (C -> 2F) graft unchanged onto any odometry combos.
+    factorized = bool(lc) and lc.stem == "factorized"
     net = PointSegNet(part="encoder+decoder", num_classes=num_classes,
                       dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
                       else jnp.float32,
@@ -89,6 +93,7 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
                       w_stride=lc.w_stride if lc else 2,
                       el_squeeze=lc.el_squeeze if lc else 0,
                       stem=lc.stem if lc else "classic",
+                      combos=((0, 0),) if factorized else (),
                       fire=lc.fire if lc else "classic",
                       pool=lc.pool if lc else "classic")
 
@@ -120,7 +125,10 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
     @jax.jit
     def project(pts, vld, point_labels):
         img, mask = projector(pts, vld)
-        x = jnp.concatenate([img, img], axis=-1)  # pair-width input
+        if factorized:
+            x = img[:, None]                      # [B, 1, H, W, C] frames
+        else:
+            x = jnp.concatenate([img, img], axis=-1)  # pair-width input
         # Raw (unnormalized, fixed-order) projection for label derivation.
         img5, mask5 = project_batch(pts, vld, proj_cfg.height, proj_cfg.width,
                                     proj_cfg.fov_up_deg, proj_cfg.fov_down_deg,

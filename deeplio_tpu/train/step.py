@@ -53,10 +53,19 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
             imgs = raw["images"].astype(_dtype_of(cfg.model.compute_dtype))
         else:
             imgs, _ = projector(raw["points"], raw["points_valid"])
-        pairs = []
-        for (i, j) in cfg.datasets.effective_combinations:
-            pairs.append(jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1))
-        mb["images"] = jnp.stack(pairs, axis=1)                  # [B,P,H,W,2C]
+        lc = cfg.model.lidar
+        if lc is not None and lc.stem == "factorized":
+            # Factorized stem consumes per-frame images directly — the
+            # full-resolution [B, P, H, W, 2C] pair stack (the step's
+            # largest materialization) is never built; pairs are summed
+            # post-stem on the downsampled grid (blocks.FactorizedStem).
+            mb["frames"] = imgs                                  # [B,S,H,W,C]
+        else:
+            pairs = []
+            for (i, j) in cfg.datasets.effective_combinations:
+                pairs.append(
+                    jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1))
+            mb["images"] = jnp.stack(pairs, axis=1)              # [B,P,H,W,2C]
     if cfg.model.arch in ("deepio", "deeplio"):
         mb["imu"] = raw["imu"]
         mb["imu_mask"] = raw["imu_mask"]

@@ -110,3 +110,18 @@ def test_make_projector_out_dtype():
     np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16))
     np.testing.assert_array_equal(
         np.asarray(i32.astype(jnp.bfloat16)), np.asarray(i16))
+
+
+@pytest.mark.parametrize("lanes", [512, 1024, 4096])
+def test_lane_width_sweep_bit_identical(lanes):
+    """The lane-width knob changes scheduling only — winners, payloads and
+    masks stay bit-identical to the default-LANES kernel and the XLA ring
+    path (benchmarks/bench_projection.py sweeps the same widths for
+    speed)."""
+    pts, valid = _ring_cloud(6, b=2, invalid_frac=0.2)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True, lanes=lanes)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))

@@ -204,3 +204,67 @@ def test_init_model_fast_bit_identical(arch):
     for (path, a), (_, b) in zip(ref_flat, fast_flat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(path))
+
+
+def test_factorized_stem_parity_with_classic():
+    """conv(concat(a_i, a_j)) == convA(a_i) + convB(a_j): a classic-stem
+    model's weights transplanted via factorize_stem_variables must produce
+    the same outputs on per-frame inputs as the classic model on the pair
+    stack (same math, different layout)."""
+    from deeplio_tpu.models import factorize_stem_variables
+
+    cfg_c = _cfg("deeplo", lidar="lidar-feat-pointseg")
+    over = {"lidar-feat-pointseg": {"feature-size": 64, "stem": "factorized"}}
+    cfg_f = _cfg("deeplo", lidar="lidar-feat-pointseg", **over)
+
+    model_c, var_c = init_model(cfg_c, jax.random.PRNGKey(3))
+    from deeplio_tpu.models import build_model as _build
+    model_f = _build(cfg_f)
+    var_f = factorize_stem_variables(var_c, cfg_c.datasets.num_image_channels)
+
+    rng = np.random.default_rng(0)
+    ds = cfg_c.datasets
+    S, H, W, C = ds.sequence_size, ds.projection.height, \
+        ds.projection.width, ds.num_image_channels
+    frames = jnp.asarray(rng.normal(size=(2, S, H, W, C)).astype(np.float32))
+    pairs = jnp.stack([jnp.concatenate([frames[:, i], frames[:, j]], -1)
+                       for (i, j) in ds.effective_combinations], axis=1)
+
+    xc, qc = model_c.apply(var_c, {"images": pairs}, train=False)
+    xf, qf = model_f.apply(var_f, {"frames": frames}, train=False)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xc),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qc),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_factorized_stem_train_step_runs():
+    """Factorized-stem deeplio trains end-to-end through the shard_map step
+    (projection -> frames -> model -> loss -> grads) with a finite loss."""
+    from deeplio_tpu.losses import init_loss_params
+    from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+    from deeplio_tpu.train import (build_train_step, create_train_state,
+                                   make_optimizer)
+    from deeplio_tpu.config import load_config_dict
+    import yaml
+    from __graft_entry__ import _TINY, _raw_batch
+
+    d = yaml.safe_load(_TINY)
+    d["deeplio"]["lidar-feat-net"] = {"name": "lidar-feat-pointseg"}
+    d["lidar-feat-pointseg"] = {"feature-size": 64, "stem": "factorized",
+                                "h-stride": 2, "w-stride": 4,
+                                "el-squeeze": 32, "pool": "stride"}
+    cfg = load_config_dict(d)
+    mesh = make_mesh(data=2, devices=jax.devices()[:2])
+    tx = make_optimizer(cfg.optim, 100)
+    from deeplio_tpu.models import init_model
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
+    state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                               jax.random.PRNGKey(1))
+    state = replicate(mesh, state)
+    train_step, eval_step = build_train_step(cfg, model, tx, mesh)
+    batch = shard_batch(mesh, _raw_batch(cfg, 4))
+    state, m = train_step(state, batch)
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    x, q, m2 = eval_step(state, batch)
+    assert x.shape == (4, 2, 3)
