@@ -53,6 +53,36 @@ def run(name, cin=10, in_dtype=np.float32, stride=(2, 4), kernel=(3, 3),
     return t
 
 
+def run_s2d_input(name, block=(2, 4), cin=10, in_dtype=np.float32,
+                  bwd=True, pool=False, iters=8):
+    """Upper bound for a projection-epilogue-emits-s2d stem: the input is
+    ALREADY in space-to-depth layout [B, H/bh, W/bw, bh*bw*C] (the
+    transpose is assumed fused into the projection gather for free), and
+    the stem is the equivalent dense 2x2 conv (receptive field covers the
+    classic 3x3-stride-(2,4) window)."""
+    bh, bw = block
+    ci = bh * bw * cin
+    conv = nn.Conv(64, (2, 2), (1, 1), padding="SAME", dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = [jax.device_put(jnp.asarray(
+        rng.normal(size=(B, H // bh, W // bw, ci)).astype(in_dtype)))
+        for _ in range(3)]
+    params = conv.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, H // bh, W // bw, ci), in_dtype))
+
+    def loss(p, x):
+        y = conv.apply(p, x)
+        if pool:
+            y = nn.max_pool(y, (3, 3), strides=(1, 2), padding="SAME")
+        return jnp.sum(y.astype(jnp.float32))
+
+    step = (jax.jit(jax.value_and_grad(loss)) if bwd
+            else jax.jit(loss))
+    t = time_fn(lambda x: step(params, x), xs, iters=iters) * 1e3
+    print(f"{name:34s} {t:6.2f} ms", flush=True)
+    return t
+
+
 def main():
     run("stem fwd+bwd (baseline)", pool=True)
     run("conv only fwd+bwd (no pool)")
@@ -63,8 +93,20 @@ def main():
     run("stride (1,1) 1x1 kernel C=64", cin=64, kernel=(1, 1), stride=(1, 1))
 
 
-if __name__ == "__main__" and "--wfold" not in sys.argv:
+def main_s2d():
+    run_s2d_input("s2d-in conv2x2 fwd+bwd")
+    run_s2d_input("s2d-in conv2x2 fwd", bwd=False)
+    run_s2d_input("s2d-in conv2x2 bf16 in",
+                  in_dtype=np.dtype(jnp.bfloat16))
+    run("classic stem fwd+bwd (control)")
+
+
+if __name__ == "__main__" and "--wfold" not in sys.argv and \
+        "--s2d" not in sys.argv:
     main()
+
+if __name__ == "__main__" and "--s2d" in sys.argv:
+    main_s2d()
 
 
 def run_wfold(name, cin=10, in_dtype=np.float32, iters=8):

@@ -272,6 +272,8 @@ class LidarFeatConfig:
     fire: str = "classic"
     # pool="cheap": (1,2)-window max pools; pool="stride": no pools, the
     # stage-entry Fire squeezes carry stride (1,2) (models/pointseg.py).
+    # pool="stride-fold": stride mode with fire2's entry stride folded
+    # into the stem — exact rewrite, encoder-only (models/pointseg.py).
     pool: str = "classic"
 
     @staticmethod
@@ -291,9 +293,16 @@ class LidarFeatConfig:
         if fire not in ("classic", "fused", "mixed"):
             raise ConfigError(
                 f"fire must be classic|fused|mixed, got {fire!r}")
-        if pool not in ("classic", "cheap", "stride"):
+        if pool not in ("classic", "cheap", "stride", "stride-fold"):
             raise ConfigError(
-                f"pool must be classic|cheap|stride, got {pool!r}")
+                f"pool must be classic|cheap|stride|stride-fold, got {pool!r}")
+        if pool == "stride-fold" and (part != "encoder"
+                                      or stem != "classic"):
+            # The fold is exact only while the skips are dead (no decoder)
+            # and the stem is the classic strided 3x3 (models/pointseg.py).
+            raise ConfigError(
+                "pool=stride-fold requires part=encoder and stem=classic "
+                f"(got part={part!r}, stem={stem!r})")
         return LidarFeatConfig(
             name=name,
             part=part,

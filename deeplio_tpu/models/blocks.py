@@ -11,7 +11,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -26,10 +26,15 @@ class ConvBN(nn.Module):
     act: bool = True
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    # "SAME" or explicit ((top, bottom), (left, right)) — the stride-fold
+    # stem needs explicit (1, 1) padding because SAME padding at the
+    # composed stride would shift the tap positions (docs/performance.md).
+    padding: Union[str, Tuple[Tuple[int, int], Tuple[int, int]]] = "SAME"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, self.kernel, self.strides, padding="SAME",
+        x = nn.Conv(self.features, self.kernel, self.strides,
+                    padding=self.padding,
                     use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,

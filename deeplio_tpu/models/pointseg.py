@@ -61,7 +61,15 @@ class PointSegEncoder(nn.Module):
     # the pooled copies of the widest activations are never materialized
     # (the tower is aggregate-bandwidth-bound; pools cost ~5.7 ms/step in
     # fwd compare-selects + select-and-scatter backwards).
-    pool: str = "classic"  # classic | cheap | stride
+    # pool="stride-fold": stride mode with fire2's (1,2) entry stride
+    # FOLDED into the stem (stem runs at (h, 2w) with explicit (1,1)
+    # padding; fire2 unstrided). An EXACT graph rewrite — a stride-(1,2)
+    # 1x1 conv after the stem reads only its even columns, so composing
+    # the strides computes the identical function while never
+    # materializing the odd stem columns — but ONLY when the skips are
+    # unused (part="encoder"): the c1 skip comes out at W/(2*w_stride).
+    # Requires stem="classic" (the fold reasons about the 3x3 taps).
+    pool: str = "classic"  # classic | cheap | stride | stride-fold
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -81,18 +89,19 @@ class PointSegEncoder(nn.Module):
             return Fire(sq, e1, e3, self.use_bn, self.dtype, ax, fused=f,
                         strides=strides)
 
+        fold = self.pool == "stride-fold"
         if self.pool == "cheap":
             def pool(t):
                 return nn.max_pool(t, (1, 2), strides=(1, 2), padding="SAME")
-        elif self.pool == "stride":
+        elif self.pool in ("stride", "stride-fold"):
             def pool(t):
                 return t            # stage-entry Fires downsample instead
         else:
             def pool(t):
                 return nn.max_pool(t, (3, 3), strides=(1, 2), padding="SAME")
-        entry = (1, 2) if self.pool == "stride" else (1, 1)
+        entry = (1, 2) if self.pool in ("stride", "stride-fold") else (1, 1)
 
-        # Stem: H/h_stride, W/w_stride.
+        # Stem: H/h_stride, W/w_stride (W/2w_stride when folded).
         if self.stem == "factorized":
             c1 = FactorizedStem(self.combos, 64, (3, 3),
                                 (self.h_stride, self.w_stride),
@@ -102,13 +111,34 @@ class PointSegEncoder(nn.Module):
             xs = space_to_depth(x, self.h_stride, self.w_stride)
             c1 = ConvBN(64, (2, 2), (1, 1), use_bn=self.use_bn,
                         dtype=self.dtype, axis_name=ax)(xs, train)
+        elif fold:
+            # Composed stride with the UNFOLDED stem's SAME pads made
+            # explicit: SAME at the composed stride would re-center the
+            # 3x3 taps, breaking exactness. With the unfolded pads the
+            # folded output x reads exactly the columns the
+            # stem-then-even-slice would.
+            def same_pads(size, s, k=3):
+                total = max((-(-size // s) - 1) * s + k - size, 0)
+                return total // 2, total - total // 2
+
+            H, W = x.shape[1], x.shape[2]
+            pads = (same_pads(H, self.h_stride), same_pads(W, self.w_stride))
+            ow = -(-(-(-W // self.w_stride)) // 2)  # ceil(ceil(W/w)/2)
+            got = (W + pads[1][0] + pads[1][1] - 3) // (2 * self.w_stride) + 1
+            if got != ow:
+                raise ValueError(
+                    f"stride-fold width mismatch: W={W}, w_stride="
+                    f"{self.w_stride} -> {got} != {ow}; use pool=stride")
+            c1 = ConvBN(64, (3, 3), (self.h_stride, 2 * self.w_stride),
+                        use_bn=self.use_bn, dtype=self.dtype,
+                        axis_name=ax, padding=pads)(x, train)
         else:
             c1 = ConvBN(64, (3, 3), (self.h_stride, self.w_stride),
                         use_bn=self.use_bn, dtype=self.dtype,
                         axis_name=ax)(x, train)
         p1 = pool(c1)                                       # W/4
 
-        f2 = fire(16, 64, 64, entry)(p1, train)
+        f2 = fire(16, 64, 64, (1, 1) if fold else entry)(p1, train)
         f3 = fire(16, 64, 64)(f2, train)
         if self.with_se:
             f3 = SELayer(dtype=self.dtype)(f3)

@@ -95,7 +95,12 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
                       stem=lc.stem if lc else "classic",
                       combos=((0, 0),) if factorized else (),
                       fire=lc.fire if lc else "classic",
-                      pool=lc.pool if lc else "classic")
+                      # stride-fold is encoder-only (folded stem breaks
+                      # the skip resolutions the decoder needs); its
+                      # params are IDENTICAL to plain stride, so pretrain
+                      # with stride and graft onto the folded encoder.
+                      pool={"stride-fold": "stride"}.get(
+                          lc.pool, lc.pool) if lc else "classic")
 
     drives = build_drives(cfg, "train")
     rng = np.random.default_rng(seed)

@@ -268,3 +268,42 @@ def test_factorized_stem_train_step_runs():
     assert np.isfinite(float(jax.device_get(m["loss"])))
     x, q, m2 = eval_step(state, batch)
     assert x.shape == (4, 2, 3)
+
+
+def test_stride_fold_parity_with_stride():
+    """pool=stride-fold is an EXACT rewrite of pool=stride for encoder-only
+    use: composing fire2's (1,2) entry stride into the stem (with explicit
+    (1,1) pads) reads the same taps and computes the same function, with
+    an identical param tree — so transplanted variables must reproduce the
+    unfolded encoder's outputs."""
+    from deeplio_tpu.models.pointseg import PointSegNet
+
+    kw = dict(part="encoder", h_stride=2, w_stride=2, el_squeeze=8,
+              dtype=jnp.float32)
+    net_s = PointSegNet(pool="stride", **kw)
+    net_f = PointSegNet(pool="stride-fold", **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 128, 10)).astype(np.float32))
+    var_s = net_s.init(jax.random.PRNGKey(1), x, train=False)
+    ys = net_s.apply(var_s, x, train=False)
+    yf = net_f.apply(var_s, x, train=False)
+    assert yf.shape == ys.shape
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stride_fold_config_validation():
+    from deeplio_tpu.config.schema import ConfigError
+
+    over = {"lidar-feat-pointseg": {"feature-size": 64,
+                                    "pool": "stride-fold"}}
+    cfg = _cfg("deeplo", lidar="lidar-feat-pointseg", **over)
+    assert cfg.model.lidar.pool == "stride-fold"
+    with pytest.raises(ConfigError):
+        _cfg("deeplo", lidar="lidar-feat-pointseg",
+             **{"lidar-feat-pointseg": {"pool": "stride-fold",
+                                        "part": "encoder+decoder"}})
+    with pytest.raises(ConfigError):
+        _cfg("deeplo", lidar="lidar-feat-pointseg",
+             **{"lidar-feat-pointseg": {"pool": "stride-fold",
+                                        "stem": "s2d"}})
