@@ -87,8 +87,11 @@ def main():
     args = ap.parse_args()
 
     variants, cur = [], {}
+    # NB: argparse swallows the FIRST bare "--" (positional separator), so
+    # "/" is the reliable variant delimiter; "--" still works from the
+    # second occurrence on.
     for tok in args.spec:
-        if tok == "--":
+        if tok in ("--", "/"):
             variants.append(cur)
             cur = {}
         else:
