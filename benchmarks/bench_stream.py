@@ -71,6 +71,33 @@ def main():
     print(f"chunk={chunk}: {fps:6.1f} frames/s = {fps / LIDAR_HZ:4.1f}x "
           f"real-time at {N}-point scans (64x1024, flagship tower)")
 
+    if "--budget" in sys.argv:
+        # Per-tick component budget (VERDICT r2 item 9): device op time
+        # bucketed from an xplane trace; the wall/device delta is the axon
+        # relay dispatch overhead.
+        import tempfile
+
+        from xplane import bucket_ops, parse_trace
+
+        ticks = 8
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                for i in range(ticks):
+                    carry, outs = stream._chunk_fn(carry, chunks[i % 3])
+                float(jax.device_get(outs[0][-1, 0, 0]))
+            ops, modules = parse_trace(td)
+        dev_wall = sum(modules.values()) / ticks / chunk
+        print(f"\nper-frame budget (chunk={chunk}, {ticks} traced ticks):")
+        for k, us in sorted(bucket_ops(ops).items(), key=lambda kv: -kv[1]):
+            print(f"  {k:16s} {us / ticks / chunk / 1e3:7.3f} ms")
+        print(f"  {'device wall':16s} {dev_wall / 1e3:7.3f} ms")
+        print(f"  {'host wall':16s} {dt / n_chunks / chunk * 1e3:7.3f} ms "
+              f"(relay overhead = host - device)")
+        top = sorted(ops.items(), key=lambda kv: -kv[1])[:12]
+        print("top ops (ms/frame):")
+        for name, us in top:
+            print(f"  {us / ticks / chunk / 1e3:7.3f}  {name[:70]}")
+
 
 if __name__ == "__main__":
     main()

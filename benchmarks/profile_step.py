@@ -1,0 +1,83 @@
+"""Op-level xplane profile of the flagship train step (bench.py protocol).
+
+Prints the device-time budget bucketed by pipeline component plus the
+top-N individual ops — the measurement source for docs/performance.md's
+step-budget table. Optional overrides like bench_stem_ab:
+
+    python benchmarks/profile_step.py [k=v ...]   # flagship overrides
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+import yaml
+
+from __graft_entry__ import _FLAGSHIP, _raw_batch
+from deeplio_tpu.config import load_config_dict
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model_fast
+from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+from deeplio_tpu.train import (build_train_step, create_train_state,
+                               make_optimizer)
+from xplane import bucket_ops, parse_trace
+
+BATCH = 16
+ITERS = 8
+
+
+def main():
+    d = yaml.safe_load(_FLAGSHIP)
+    for tok in sys.argv[1:]:
+        k, v = tok.split("=", 1)
+        d["lidar-feat-pointseg"][k] = v
+    cfg = load_config_dict(d)
+    mesh = make_mesh(data=-1)
+    tx = make_optimizer(cfg.optim, 1000)
+    old_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
+                                           axis_name="data", probe_width=64)
+        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                                   jax.random.PRNGKey(1))
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+    state = replicate(mesh, state)
+    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    raw = _raw_batch(cfg, BATCH * len(jax.devices()), seed=0)
+    batches = [shard_batch(mesh, {k: np.roll(v, s, axis=0)
+                                  for k, v in raw.items()})
+               for s in range(3)]
+
+    for i in range(3):
+        state, m = train_step(state, batches[i % 3])
+    print(f"warm, loss={float(jax.device_get(m['loss'])):.4f}", flush=True)
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for i in range(ITERS):
+                state, m = train_step(state, batches[i % 3])
+            float(jax.device_get(m["loss"]))
+        wall = (time.time() - t0) / ITERS
+        ops, modules = parse_trace(td)
+    dev = sum(modules.values()) / ITERS / 1e3
+    print(f"\nhost wall {wall * 1e3:.1f} ms/step, device wall {dev:.1f} ms")
+    print("buckets (ms/step):")
+    for k, us in sorted(bucket_ops(ops).items(), key=lambda kv: -kv[1]):
+        print(f"  {k:16s} {us / ITERS / 1e3:7.2f}")
+    print("top ops (ms/step):")
+    for name, us in sorted(ops.items(), key=lambda kv: -kv[1])[:28]:
+        print(f"  {us / ITERS / 1e3:7.3f}  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -264,6 +264,8 @@ class LidarFeatConfig:
     # stem="s2d": space-to-depth stem (models/pointseg.py), fire="fused":
     # single-conv Fire modules (models/blocks.py) — TPU bandwidth knobs;
     # classic forms remain the reference-shaped defaults.
+    # stem="s2d-pre": s2d layout emitted by the data side straight out of
+    # the projection epilogue (train/step.py); param-identical to "s2d".
     # stem="factorized": run the stem conv PER FRAME (C -> 2*64 channels)
     # and sum u_i + v_j per pair on the downsampled grid — the full-res
     # pair stack never materializes (models/blocks.py::FactorizedStem;
@@ -287,9 +289,9 @@ class LidarFeatConfig:
         if part not in ("encoder", "encoder+decoder"):
             raise ConfigError(
                 f"part must be encoder|encoder+decoder, got {part!r}")
-        if stem not in ("classic", "s2d", "factorized"):
+        if stem not in ("classic", "s2d", "s2d-pre", "factorized"):
             raise ConfigError(
-                f"stem must be classic|s2d|factorized, got {stem!r}")
+                f"stem must be classic|s2d|s2d-pre|factorized, got {stem!r}")
         if fire not in ("classic", "fused", "mixed"):
             raise ConfigError(
                 f"fire must be classic|fused|mixed, got {fire!r}")

@@ -66,6 +66,11 @@ class StreamingOdometry:
             img = img[0]
             if factorized:
                 mb = {"frames": jnp.stack([prev_img, img])[None]}
+            elif lc is not None and lc.stem == "s2d-pre":
+                from deeplio_tpu.models.blocks import space_to_depth_pairs
+                mb = {"images": space_to_depth_pairs(
+                    jnp.stack([prev_img, img])[None], ((0, 1),),
+                    lc.h_stride, lc.w_stride)}
             else:
                 mb = {"images":
                       jnp.concatenate([prev_img, img], -1)[None, None]}

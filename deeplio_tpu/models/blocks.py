@@ -157,6 +157,26 @@ def space_to_depth(x, h: int, w: int):
     return x.reshape(b, H // h, W // w, h * w * c)
 
 
+def space_to_depth_pairs(frames, combos, h: int, w: int):
+    """Per-frame s2d + pair interleave for the ``s2d-pre`` stem.
+
+    frames [B, S, H, W, C] -> [B, P, H//h, W//w, h*w*2C], bit-identical in
+    channel order to ``space_to_depth(concat([f_i, f_j], -1), h, w)`` per
+    pair — so variables transplant between stem="s2d" and stem="s2d-pre"
+    unchanged. Each frame is relaid out ONCE (9 frame transposes instead
+    of 8 full-res pair-stack transposes in the model), and the full-res
+    [B, P, H, W, 2C] pair stack is never built."""
+    b, s, H, W, c = frames.shape
+    fr = space_to_depth(frames.reshape(b * s, H, W, c), h, w)
+    fr = fr.reshape(b, s, H // h, W // w, h * w, c)
+    pairs = [
+        jnp.concatenate([fr[:, i], fr[:, j]], axis=-1)
+        .reshape(b, H // h, W // w, h * w * 2 * c)
+        for (i, j) in combos
+    ]
+    return jnp.stack(pairs, axis=1)
+
+
 class FireDeconv(nn.Module):
     """Fire module with a width-upsampling transposed conv (decoder side).
 

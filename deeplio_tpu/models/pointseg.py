@@ -38,6 +38,11 @@ class PointSegEncoder(nn.Module):
         Measured NEUTRAL (29.2 -> 29.7 ms tower fwd+bwd at B=128): the
         transpose materializes the same full-resolution array the strided
         conv reads, so no traffic is saved.
+      * ``stem="s2d-pre"``: s2d layout emitted by the DATA side
+        (train/step.py fuses the relayout into the projection epilogue /
+        pair assembly; blocks.space_to_depth_pairs) — the encoder input is
+        already [B*, H/h, W/w, h*w*2C] and the stem is the stride-1 2x2
+        conv directly. Param-identical to stem="s2d".
       * ``fire="fused"``: single-conv Fire modules — measured 2x WORSE
         (deep stages are MXU-bound; see blocks.Fire).
     """
@@ -52,7 +57,7 @@ class PointSegEncoder(nn.Module):
     # "factorized": per-frame stem + pair-sum on the downsampled grid
     # (blocks.FactorizedStem) — input is then per-FRAME [B, S, H, W, C]
     # with ``combos`` defining the pairs, instead of the pair stack.
-    stem: str = "classic"  # classic | s2d | factorized
+    stem: str = "classic"  # classic | s2d | s2d-pre | factorized
     combos: Tuple[Tuple[int, int], ...] = ()  # factorized stem pairs
     fire: str = "classic"  # classic | fused
     # pool="cheap": (1,2) window instead of the classic overlapping (3,3)
@@ -111,6 +116,13 @@ class PointSegEncoder(nn.Module):
             xs = space_to_depth(x, self.h_stride, self.w_stride)
             c1 = ConvBN(64, (2, 2), (1, 1), use_bn=self.use_bn,
                         dtype=self.dtype, axis_name=ax)(xs, train)
+        elif self.stem == "s2d-pre":
+            # Input is ALREADY space-to-depth'd (train/step.py emits the
+            # layout straight out of the projection epilogue via
+            # blocks.space_to_depth_pairs) — same param tree as stem="s2d"
+            # (both: first submodule = ConvBN(64, (2,2)) on h*w*2C chans).
+            c1 = ConvBN(64, (2, 2), (1, 1), use_bn=self.use_bn,
+                        dtype=self.dtype, axis_name=ax)(x, train)
         elif fold:
             # Composed stride with the UNFOLDED stem's SAME pads made
             # explicit: SAME at the composed stride would re-center the

@@ -53,10 +53,10 @@ def _flat_pairs(x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
 
 def _make_lidar_net(cfg: ModelConfig, dtype, axis_name, combos=()):
     lc = cfg.lidar
-    if lc.stem == "factorized" and lc.name != "lidar-feat-pointseg":
+    if lc.stem != "classic" and lc.name != "lidar-feat-pointseg":
         raise ValueError(
-            "stem=factorized is a PointSeg-stem knob; "
-            f"{lc.name!r} has no stem to factorize")
+            f"stem={lc.stem} is a PointSeg-stem knob; "
+            f"{lc.name!r} has no stem to reshape")
     if lc.name == "lidar-feat-pointseg":
         return LidarPointSegFeat(
             feature_size=lc.feature_size, part=lc.part, dropout=lc.dropout,
@@ -204,9 +204,15 @@ def example_batch(cfg: Config, batch_size: int = 2) -> Batch:
     t = ds.max_imu_per_pair
     batch: Batch = {}
     if cfg.model.arch in ("deeplo", "deeplio"):
-        if cfg.model.lidar is not None and cfg.model.lidar.stem == "factorized":
+        lc = cfg.model.lidar
+        if lc is not None and lc.stem == "factorized":
             batch["frames"] = jnp.zeros(
                 (batch_size, ds.sequence_size, h, w, c), jnp.float32)
+        elif lc is not None and lc.stem == "s2d-pre":
+            hs, ws = lc.h_stride, lc.w_stride
+            batch["images"] = jnp.zeros(
+                (batch_size, p, h // hs, w // ws, hs * ws * 2 * c),
+                jnp.float32)
         else:
             batch["images"] = jnp.zeros((batch_size, p, h, w, 2 * c),
                                         jnp.float32)

@@ -92,7 +92,11 @@ def pretrain_pointseg(cfg: Config, out_dir: str, steps: int = 200,
                       h_stride=lc.h_stride if lc else 1,
                       w_stride=lc.w_stride if lc else 2,
                       el_squeeze=lc.el_squeeze if lc else 0,
-                      stem=lc.stem if lc else "classic",
+                      # s2d-pre is a data-side layout twin of s2d with an
+                      # identical param tree — pretrain with the in-model
+                      # s2d transform and graft onto the pre-s2d encoder.
+                      stem={"s2d-pre": "s2d"}.get(
+                          lc.stem, lc.stem) if lc else "classic",
                       combos=((0, 0),) if factorized else (),
                       fire=lc.fire if lc else "classic",
                       # stride-fold is encoder-only (folded stem breaks

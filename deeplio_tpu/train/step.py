@@ -60,6 +60,16 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
             # largest materialization) is never built; pairs are summed
             # post-stem on the downsampled grid (blocks.FactorizedStem).
             mb["frames"] = imgs                                  # [B,S,H,W,C]
+        elif lc is not None and lc.stem == "s2d-pre":
+            # Emit the pair stack already in space-to-depth layout so XLA
+            # can fuse the relayout into the projection epilogue / pair
+            # assembly writes — the full-res pair stack is never built and
+            # the stem reads h*w*2C lane-packed channels instead of a
+            # ~10-channel tensor padded to the 128-lane width.
+            from deeplio_tpu.models.blocks import space_to_depth_pairs
+            mb["images"] = space_to_depth_pairs(
+                imgs, cfg.datasets.effective_combinations,
+                lc.h_stride, lc.w_stride)          # [B,P,H/h,W/w,h*w*2C]
         else:
             pairs = []
             for (i, j) in cfg.datasets.effective_combinations:

@@ -307,3 +307,63 @@ def test_stride_fold_config_validation():
         _cfg("deeplo", lidar="lidar-feat-pointseg",
              **{"lidar-feat-pointseg": {"pool": "stride-fold",
                                         "stem": "s2d"}})
+
+
+def test_s2d_pre_parity_with_s2d():
+    """stem=s2d-pre consumes data-side space_to_depth_pairs layout with the
+    SAME param tree as stem=s2d (in-model transform): transplanted
+    variables on the pre-transformed input must reproduce the s2d
+    encoder's outputs bit-for-bit (identical conv on an identical tensor,
+    by space_to_depth_pairs' channel-order guarantee)."""
+    from deeplio_tpu.models.blocks import space_to_depth, space_to_depth_pairs
+    from deeplio_tpu.models.pointseg import PointSegNet
+
+    kw = dict(part="encoder", h_stride=2, w_stride=4, el_squeeze=8,
+              dtype=jnp.float32)
+    net_s = PointSegNet(stem="s2d", **kw)
+    net_p = PointSegNet(stem="s2d-pre", **kw)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(2, 16, 128, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 16, 128, 5)).astype(np.float32))
+    pair = jnp.concatenate([a, b], -1)
+    pre = space_to_depth_pairs(jnp.stack([a, b], 1), ((0, 1),), 2, 4)[:, 0]
+    np.testing.assert_array_equal(np.asarray(pre),
+                                  np.asarray(space_to_depth(pair, 2, 4)))
+    var = net_s.init(jax.random.PRNGKey(1), pair, train=False)
+    ys = net_s.apply(var, pair, train=False)
+    yp = net_p.apply(var, pre, train=False)
+    np.testing.assert_array_equal(np.asarray(yp), np.asarray(ys))
+
+
+def test_s2d_pre_train_step_runs():
+    """s2d-pre deeplio trains end-to-end through the shard_map step: the
+    data side emits the s2d pair stack (train/step.py), the model consumes
+    it, loss is finite."""
+    import yaml
+
+    from __graft_entry__ import _TINY, _raw_batch
+    from deeplio_tpu.config import load_config_dict
+    from deeplio_tpu.losses import init_loss_params
+    from deeplio_tpu.models import init_model
+    from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+    from deeplio_tpu.train import (build_train_step, create_train_state,
+                                   make_optimizer)
+
+    d = yaml.safe_load(_TINY)
+    d["deeplio"]["lidar-feat-net"] = {"name": "lidar-feat-pointseg"}
+    d["lidar-feat-pointseg"] = {"feature-size": 64, "stem": "s2d-pre",
+                                "h-stride": 2, "w-stride": 4,
+                                "el-squeeze": 32, "pool": "stride"}
+    cfg = load_config_dict(d)
+    mesh = make_mesh(data=2, devices=jax.devices()[:2])
+    tx = make_optimizer(cfg.optim, 100)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
+    state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                               jax.random.PRNGKey(1))
+    state = replicate(mesh, state)
+    train_step, eval_step = build_train_step(cfg, model, tx, mesh)
+    batch = shard_batch(mesh, _raw_batch(cfg, 4))
+    state, m = train_step(state, batch)
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    x, q, m2 = eval_step(state, batch)
+    assert x.shape == (4, 2, 3)
