@@ -45,16 +45,24 @@ def host_cache_tag() -> str:
     import hashlib
     import platform
 
-    feats = ""
+    feats = model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                # "model name" too: XLA adds model-specific tuning
+                # pseudo-features (+prefer-no-scatter/gather on parts with
+                # slow avx512 scatter) that identical flag sets don't
+                # capture — observed as cpu_aot_loader mismatches between
+                # hosts whose /proc flags agree.
+                if not model and line.startswith(("model name", "Processor")):
+                    model = line.strip()
+                if not feats and line.startswith(("flags", "Features")):
                     feats = line.strip()
+                if feats and model:
                     break
     except OSError:
         pass
-    raw = f"{platform.machine()}|{feats}"
+    raw = f"{platform.machine()}|{model}|{feats}"
     return hashlib.sha1(raw.encode()).hexdigest()[:10]
 
 
