@@ -73,7 +73,8 @@ def main():
           f"{n_pairs/t_full:7.0f} pairs/s")
 
     # 2) projection alone (S frames per window)
-    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
+                               layout="soa")
 
     @jax.jit
     def proj_only(raw):

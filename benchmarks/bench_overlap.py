@@ -47,7 +47,8 @@ def main():
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     ds = cfg.datasets
     n_pairs = B * ds.num_pairs
-    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
+                               layout="soa")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -129,7 +130,8 @@ def shardmap_variant():
 
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     ds = cfg.datasets
-    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std)
+    projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
+                               layout="soa")
     model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
     params = variables["params"]
     stats = variables.get("batch_stats", {})

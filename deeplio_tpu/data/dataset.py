@@ -55,7 +55,11 @@ class WindowDataset:
         item: Dict[str, np.ndarray] = {}
         if self.with_points:
             pts, vld = zip(*[d.points(s + k) for k in range(S)])
-            item["points"] = np.stack(pts)            # [S, N, 4]
+            # SoA layout [S, 4, N] (train/step.py contract): the host pays
+            # the transpose in the loader threads so the device projection
+            # prologue gets contiguous channel planes (no relayout copy).
+            item["points"] = np.ascontiguousarray(
+                np.stack(pts).transpose(0, 2, 1))     # [S, 4, N]
             item["points_valid"] = np.stack(vld)      # [S, N]
         elif self.image_cache is not None:
             item["images"] = np.asarray(

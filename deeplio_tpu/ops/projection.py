@@ -68,7 +68,15 @@ def spherical_uv(
     xyz: jax.Array, H: int, W: int, fov_up_deg: float, fov_down_deg: float
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-point (u, v, range). xyz: [..., 3] -> int32 u, v and f32 r."""
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    return spherical_uv_planes(xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                               H, W, fov_up_deg, fov_down_deg)
+
+
+def spherical_uv_planes(
+    x: jax.Array, y: jax.Array, z: jax.Array,
+    H: int, W: int, fov_up_deg: float, fov_down_deg: float
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Plane-input spherical_uv (SoA hot path: no channel-minor slicing)."""
     r = jnp.sqrt(x * x + y * y + z * z)
     r_safe = jnp.maximum(r, 1e-9)
     yaw = jnp.arctan2(y, x)
@@ -647,12 +655,18 @@ def normalize_channels(
 
 def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
                    mean: Sequence[float] = (), std: Sequence[float] = (),
-                   out_dtype=None):
+                   out_dtype=None, layout: str = "aos"):
     """Build the jit-ready batched scan->image function for a config.
 
     Returns fn(points [..., N, 4], valid [..., N]) ->
     (img [..., H, W, C], mask [..., H, W]). Leading dims are flattened into
     one batch for the sort-based kernel (batch-explicit beats vmap here).
+
+    layout="soa": points arrive as [..., 4, N] channel planes (the
+    training-step contract — plane slices are contiguous, so the Mosaic
+    prologue skips the 0.9 ms/step channel-minor relayout copy the AoS
+    layout forces at flagship scale). Other backends transpose back to
+    AoS in-graph (bit-identical; they are not the production path).
 
     Large batches run as ``lax.map`` over ``cfg_proj.chunk``-scan chunks:
     one fused 144-scan program measured 2.3x worse PER SCAN than 32 (the
@@ -665,6 +679,8 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     packed = cfg_proj.packed
     backend = getattr(cfg_proj, "backend", "sort")
     chunk = int(getattr(cfg_proj, "chunk", 0) or 0)
+    if layout not in ("aos", "soa"):
+        raise ValueError(f"layout must be aos|soa, got {layout!r}")
 
     if bool(mean) != bool(std):
         raise ValueError("normalization requires both mean and std (or neither)")
@@ -710,7 +726,33 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             img = img.astype(out_dtype)
         return img, mask
 
+    def kernel_soa(ptsT: jax.Array, vld: jax.Array):
+        # SoA fast path: only live for the Mosaic kernel on TPU (planes
+        # feed the prologue directly); everything else rebuilds AoS
+        # in-graph (bit-identical — the relayout XLA would insert anyway).
+        from deeplio_tpu.ops.projection_pallas_ring import (
+            project_batch_ring_pallas_planes)
+        img5, mask = project_batch_ring_pallas_planes(
+            ptsT[:, 0], ptsT[:, 1], ptsT[:, 2], ptsT[:, 3], vld,
+            H, W, fu, fd)
+        img = assemble_channels(img5, mask, channels)
+        img = normalize_channels(img, mask, mean, std)
+        if out_dtype is not None:
+            img = img.astype(out_dtype)
+        return img, mask
+
     def project(points: jax.Array, valid: jax.Array):
+        if layout == "soa":
+            lead = points.shape[:-2]
+            n = points.shape[-1]
+            ptsT = points.reshape((-1, 4, n))
+            vld = valid.reshape((-1, n))
+            if backend == "pallas-ring" and jax.default_backend() == "tpu":
+                img, mask = kernel_soa(ptsT, vld)
+                c = img.shape[-1]
+                return (img.reshape(lead + (H, W, c)),
+                        mask.reshape(lead + (H, W)))
+            points = jnp.swapaxes(points, -1, -2)
         lead = points.shape[:-2]
         n = points.shape[-2]
         pts = points.reshape((-1, n, 4))

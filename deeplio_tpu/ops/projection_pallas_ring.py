@@ -47,7 +47,7 @@ from deeplio_tpu.ops.projection import (
     _idx_key_layout,
     _pack_f16x2,
     _unpack_f16x2,
-    spherical_uv,
+    spherical_uv_planes,
 )
 
 LANES = 2048         # default logical lane width of the [R, LANES] working
@@ -277,11 +277,37 @@ def project_batch_ring_pallas(
     points [B, N, 4] float32, valid [B, N] bool ->
     (img [B, H, W, 5] float32, mask [B, H, W] float32).
     """
+    return project_batch_ring_pallas_planes(
+        points[..., 0], points[..., 1], points[..., 2], points[..., 3],
+        valid, H, W, fov_up_deg, fov_down_deg,
+        interpret=interpret, lanes=lanes)
+
+
+def project_batch_ring_pallas_planes(
+    x: jax.Array,
+    y: jax.Array,
+    z: jax.Array,
+    rem: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    interpret: bool = False,
+    lanes: int = LANES,
+) -> Tuple[jax.Array, jax.Array]:
+    """Planes entry: x/y/z/rem [B, N] float32 channel planes.
+
+    The SoA hot path (train/step.py feeds ``points [B, S, 4, N]``): plane
+    slices of an SoA batch are contiguous, so the prologue needs no
+    channel-minor relayout copy (measured 0.9 ms/step at flagship scale
+    for the f32[144,131072,4] copy the AoS layout forces).
+    """
     LANES_ = int(lanes)
     if LANES_ & (LANES_ - 1):
         raise ValueError(f"lanes must be a power of 2, got {LANES_}")
     LOG_LANES = int(np.log2(LANES_))
-    b, n = points.shape[0], points.shape[1]
+    b, n = x.shape[0], x.shape[1]
     n_pix = H * W
     if n_pix % LANES_:
         raise ValueError(
@@ -289,16 +315,15 @@ def project_batch_ring_pallas(
     idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
     rq_max = (1 << rq_bits) - 1
 
-    xyz = points[..., :3]
-    u, v, r = spherical_uv(xyz, H, W, fov_up_deg, fov_down_deg)
+    u, v, r = spherical_uv_planes(x, y, z, H, W, fov_up_deg, fov_down_deg)
     ok = valid & (r > 1e-6)
     pix = jnp.where(ok, v * W + u, -1)        # cummax happens in-kernel
     rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
     rqv = jnp.where(ok, rq, rq_max)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     mkey = (rqv << idx_bits) | idx
-    p1 = _pack_f16x2(points[..., 0], points[..., 1])
-    p2 = _pack_f16x2(points[..., 2], points[..., 3])
+    p1 = _pack_f16x2(x, y)
+    p2 = _pack_f16x2(z, rem)
 
     # Pad N to a LANES multiple. Padding joins the last run with losing
     # keys: rq_max in the range bits keeps them behind every real point

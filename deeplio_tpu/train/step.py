@@ -8,7 +8,9 @@ the ``data`` mesh axis (XLA collectives over ICI — the reference has no
 distributed backend at all, SURVEY.md §2.7).
 
 Raw batch contract (host pipeline output; everything static-shaped):
-    points:       [B, S, N, 4] float32   (lidar archs; S window frames)
+    points:       [B, S, 4, N] float32   (lidar archs; S window frames;
+                  SoA channel planes — contiguous plane slices feed the
+                  Mosaic projection prologue with no relayout copy)
     points_valid: [B, S, N]   bool
     imu:          [B, P, T, 6] float32   (imu archs)
     imu_mask:     [B, P, T]   float32
@@ -97,7 +99,8 @@ def build_train_step(
 
     ds = cfg.datasets
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
-                               out_dtype=_dtype_of(cfg.model.compute_dtype))
+                               out_dtype=_dtype_of(cfg.model.compute_dtype),
+                               layout="soa")
 
     def _loss_fn(trainables, batch_stats, raw, dropout_rng):
         variables = {"params": trainables["model"]}
@@ -122,7 +125,7 @@ def build_train_step(
         sub = jax.random.fold_in(sub, jax.lax.axis_index(DATA_AXIS))
         if ds.augment_yaw:
             aug_rng, sub = jax.random.split(sub)
-            raw = yaw_augment(raw, aug_rng)
+            raw = yaw_augment(raw, aug_rng, points_layout="soa")
         grads, (metrics, new_stats) = jax.grad(_loss_fn, has_aux=True)(
             state.trainables, state.batch_stats, raw, sub)
         grads = jax.lax.pmean(grads, DATA_AXIS)

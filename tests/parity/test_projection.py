@@ -410,3 +410,25 @@ class TestTiledSegScan:
         m0, _ = _seg_min_scan(jnp.asarray(bound), val)
         m1, _ = _seg_min_scan_tiled(jnp.asarray(bound), val, lane=lane)
         np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_make_projector_soa_matches_aos():
+    """layout="soa" ([..., 4, N] channel planes — the train-step contract)
+    is bit-identical to the AoS projector on transposed input (CPU takes
+    the swapaxes fallback; on TPU the Mosaic planes prologue is exercised
+    by the bench/train entry points)."""
+    from deeplio_tpu.config.schema import ProjectionConfig
+
+    cfg = ProjectionConfig(height=16, width=128, fov_up_deg=3.0,
+                           fov_down_deg=-25.0, max_points=2048,
+                           backend="ring", packed=True)
+    ch = ["x", "y", "z", "remission", "depth"]
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(2, 3, 2048, 4)).astype(np.float32) * 10
+    vld = rng.uniform(size=(2, 3, 2048)) > 0.1
+    fa = jax.jit(proj.make_projector(cfg, ch))
+    fs = jax.jit(proj.make_projector(cfg, ch, layout="soa"))
+    ia, ma = fa(jnp.asarray(pts), jnp.asarray(vld))
+    is_, ms = fs(jnp.asarray(pts.transpose(0, 1, 3, 2)), jnp.asarray(vld))
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(ms), np.asarray(ma))

@@ -73,3 +73,21 @@ def test_identity_when_quaternion_identity(rng):
     # conjugating the identity quaternion stays identity
     np.testing.assert_allclose(np.abs(np.asarray(out["q_gt"])[0, 0, 0]), 1.0,
                                atol=1e-6)
+
+
+def test_soa_rotation_matches_aos(rng):
+    """points_layout="soa" (the train-step contract, [B,S,4,N]) rotates
+    identically to the AoS path on transposed data."""
+    pts = rng.normal(size=(2, 2, 64, 4)).astype(np.float32)
+    base = {
+        "x_gt": jnp.zeros((2, 1, 3)),
+        "q_gt": jnp.asarray([[[1.0, 0, 0, 0]]] * 2),
+    }
+    key = jax.random.PRNGKey(11)
+    out_a = yaw_augment({**base, "points": jnp.asarray(pts)}, key)
+    out_s = yaw_augment(
+        {**base, "points": jnp.asarray(pts.transpose(0, 1, 3, 2))}, key,
+        points_layout="soa")
+    np.testing.assert_allclose(
+        np.asarray(out_s["points"]).transpose(0, 1, 3, 2),
+        np.asarray(out_a["points"]), atol=1e-6)

@@ -47,7 +47,7 @@ def test_points_included_for_lidar_arch():
     cfg = load_config("configs/deeplo_synth.yaml")
     ds = build_dataset(cfg, "train")
     it = ds.get(0)
-    assert it["points"].shape == (2, cfg.datasets.projection.max_points, 4)
+    assert it["points"].shape == (2, 4, cfg.datasets.projection.max_points)
     assert it["points_valid"].any()
 
 
