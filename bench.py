@@ -145,7 +145,7 @@ def main():
     for s in range(N_BATCHES):
         rolled = {k: np.roll(v, s, axis=0) for k, v in raw.items()}
         batches.append(shard_batch(mesh, rolled))
-        jax.block_until_ready(batches[-1]["points"])
+        jax.block_until_ready(batches[-1]["points_x"])
         _log(f"staged device batch {s + 1}/{N_BATCHES}")
 
     for i in range(WARMUP):

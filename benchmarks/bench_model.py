@@ -74,11 +74,13 @@ def main():
 
     # 2) projection alone (S frames per window)
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
-                               layout="soa")
+                               layout="planes")
 
     @jax.jit
     def proj_only(raw):
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         return jnp.sum(imgs.astype(jnp.float32))
 
     dev_raws = [{k: jax.device_put(v) for k, v in r.items()} for r in raws]
@@ -89,7 +91,9 @@ def main():
     # 3) model fwd+bwd on pre-projected images (no projection in graph)
     @jax.jit
     def make_mb(raw):
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

@@ -48,7 +48,7 @@ def main():
     ds = cfg.datasets
     n_pairs = B * ds.num_pairs
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
-                               layout="soa")
+                               layout="planes")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -58,7 +58,9 @@ def main():
 
     @jax.jit
     def make_mb(raw):
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),
@@ -80,7 +82,9 @@ def main():
     # (a) projection alone
     @jax.jit
     def proj_only(raw):
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         return imgs
 
     t_a = time_fn(lambda r: jnp.sum(proj_only(r).astype(jnp.float32)),
@@ -101,7 +105,9 @@ def main():
         v, g = jax.value_and_grad(model_loss)(p, mb, key)
         gsum = sum(jnp.sum(x.astype(jnp.float32))
                    for x in jax.tree_util.tree_leaves(g))
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         return v + 0.0 * gsum, imgs
 
     def run_c(i):
@@ -131,7 +137,7 @@ def shardmap_variant():
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     ds = cfg.datasets
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
-                               layout="soa")
+                               layout="planes")
     model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -141,7 +147,9 @@ def shardmap_variant():
     raws = [shard_batch(mesh, _raw_batch(cfg, B, seed=s)) for s in range(3)]
 
     def stage(raw):
-        imgs, _ = projector(raw["points"], raw["points_valid"])
+        imgs, _ = projector(
+            (raw["points_x"], raw["points_y"],
+             raw["points_z"], raw["points_rem"]), raw["points_valid"])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

@@ -55,11 +55,14 @@ class WindowDataset:
         item: Dict[str, np.ndarray] = {}
         if self.with_points:
             pts, vld = zip(*[d.points(s + k) for k in range(S)])
-            # SoA layout [S, 4, N] (train/step.py contract): the host pays
+            # SoA channel planes (train/step.py contract): the host pays
             # the transpose in the loader threads so the device projection
-            # prologue gets contiguous channel planes (no relayout copy).
-            item["points"] = np.ascontiguousarray(
-                np.stack(pts).transpose(0, 2, 1))     # [S, 4, N]
+            # prologue reads natively-tiled per-plane arrays (no relayout
+            # copy — a fused [S,4,N] array still re-tiles on device).
+            soa = np.stack(pts).transpose(2, 0, 1)    # [4, S, N]
+            for k, key in enumerate(("points_x", "points_y",
+                                     "points_z", "points_rem")):
+                item[key] = np.ascontiguousarray(soa[k])      # [S, N]
             item["points_valid"] = np.stack(vld)      # [S, N]
         elif self.image_cache is not None:
             item["images"] = np.asarray(

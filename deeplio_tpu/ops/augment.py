@@ -35,23 +35,14 @@ def _rotz_points(pts: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
     return jnp.stack([xr, yr, pts[..., 2], pts[..., 3]], axis=-1)
 
 
-def _rotz_points_soa(pts: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
-    """SoA twin: [B, ..., 4, N] channel-plane points (train-step layout)."""
-    x, y = pts[..., 0, :], pts[..., 1, :]
-    shape = (c.shape[0],) + (1,) * (x.ndim - 1)
-    c = c.reshape(shape)
-    s = s.reshape(shape)
-    xr = c * x - s * y
-    yr = s * x + c * y
-    return jnp.stack([xr, yr, pts[..., 2, :], pts[..., 3, :]], axis=-2)
-
-
-def yaw_augment(raw: Dict[str, jax.Array], rng: jax.Array,
-                points_layout: str = "aos") -> Dict[str, jax.Array]:
+def yaw_augment(raw: Dict[str, jax.Array], rng: jax.Array
+                ) -> Dict[str, jax.Array]:
     """Apply one random global yaw per batch item to points + GT.
 
-    raw: the train-step batch (points [B,S,4,N] SoA — points_layout="soa",
-    the step contract — or [B,S,N,4] AoS), x_gt [B,P,3], q_gt [B,P,4],
+    raw: the train-step batch — points as SoA channel planes
+    ``points_x/points_y/points_z/points_rem`` [B,S,N] (the step contract;
+    only the x/y planes are touched, z/rem pass through untouched) or
+    legacy AoS ``points`` [B,S,N,4] — plus x_gt [B,P,3], q_gt [B,P,4],
     imu [B,P,T,6], ... Rotating the body points by Rz(phi)
     re-mounts the sensor: T_world_body' = T_world_body @ Rz^-1, so the
     relative pose conjugates (dx' = Rz dx, dq' = qz dq qz^-1) and the
@@ -62,9 +53,15 @@ def yaw_augment(raw: Dict[str, jax.Array], rng: jax.Array,
     phi = jax.random.uniform(rng, (b,), minval=-jnp.pi, maxval=jnp.pi)
     c, s = jnp.cos(phi), jnp.sin(phi)
 
+    if "points_x" in raw:
+        x, y = raw["points_x"], raw["points_y"]
+        shape = (c.shape[0],) + (1,) * (x.ndim - 1)
+        cP = c.reshape(shape)
+        sP = s.reshape(shape)
+        out["points_x"] = cP * x - sP * y
+        out["points_y"] = sP * x + cP * y
     if "points" in raw:
-        rot = _rotz_points_soa if points_layout == "soa" else _rotz_points
-        out["points"] = rot(raw["points"], c, s)
+        out["points"] = _rotz_points(raw["points"], c, s)
 
     # dx' = Rz(phi) dx  (per batch item, broadcast over pairs)
     x = raw["x_gt"]

@@ -662,11 +662,14 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     (img [..., H, W, C], mask [..., H, W]). Leading dims are flattened into
     one batch for the sort-based kernel (batch-explicit beats vmap here).
 
-    layout="soa": points arrive as [..., 4, N] channel planes (the
-    training-step contract — plane slices are contiguous, so the Mosaic
-    prologue skips the 0.9 ms/step channel-minor relayout copy the AoS
-    layout forces at flagship scale). Other backends transpose back to
-    AoS in-graph (bit-identical; they are not the production path).
+    layout="planes": points arrive as a 4-TUPLE of channel-plane arrays
+    (x, y, z, rem), each [..., N] (the training-step contract). Separate
+    planes are natively (8,128)-tiled 2D slabs, so the Mosaic prologue
+    reads them with NO relayout: both the AoS [..., N, 4] layout and a
+    single [..., 4, N] array force a 0.9 ms/step copy at flagship scale
+    (XLA tiles the (4, N) minor dims as T(4,128) and must re-tile each
+    plane — measured, profile_step.py). Non-Mosaic backends stack back
+    to AoS in-graph (bit-identical; not the production path).
 
     Large batches run as ``lax.map`` over ``cfg_proj.chunk``-scan chunks:
     one fused 144-scan program measured 2.3x worse PER SCAN than 32 (the
@@ -679,8 +682,8 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     packed = cfg_proj.packed
     backend = getattr(cfg_proj, "backend", "sort")
     chunk = int(getattr(cfg_proj, "chunk", 0) or 0)
-    if layout not in ("aos", "soa"):
-        raise ValueError(f"layout must be aos|soa, got {layout!r}")
+    if layout not in ("aos", "planes"):
+        raise ValueError(f"layout must be aos|planes, got {layout!r}")
 
     if bool(mean) != bool(std):
         raise ValueError("normalization requires both mean and std (or neither)")
@@ -726,33 +729,34 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             img = img.astype(out_dtype)
         return img, mask
 
-    def kernel_soa(ptsT: jax.Array, vld: jax.Array):
-        # SoA fast path: only live for the Mosaic kernel on TPU (planes
+    def kernel_planes(planes, vld: jax.Array):
+        # Planes fast path: only live for the Mosaic kernel on TPU (planes
         # feed the prologue directly); everything else rebuilds AoS
         # in-graph (bit-identical — the relayout XLA would insert anyway).
         from deeplio_tpu.ops.projection_pallas_ring import (
             project_batch_ring_pallas_planes)
+        x, y, z, rem = planes
         img5, mask = project_batch_ring_pallas_planes(
-            ptsT[:, 0], ptsT[:, 1], ptsT[:, 2], ptsT[:, 3], vld,
-            H, W, fu, fd)
+            x, y, z, rem, vld, H, W, fu, fd)
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
         if out_dtype is not None:
             img = img.astype(out_dtype)
         return img, mask
 
-    def project(points: jax.Array, valid: jax.Array):
-        if layout == "soa":
-            lead = points.shape[:-2]
-            n = points.shape[-1]
-            ptsT = points.reshape((-1, 4, n))
+    def project(points, valid: jax.Array):
+        if layout == "planes":
+            x, y, z, rem = points
+            lead = x.shape[:-1]
+            n = x.shape[-1]
             vld = valid.reshape((-1, n))
             if backend == "pallas-ring" and jax.default_backend() == "tpu":
-                img, mask = kernel_soa(ptsT, vld)
+                planes = tuple(p.reshape((-1, n)) for p in (x, y, z, rem))
+                img, mask = kernel_planes(planes, vld)
                 c = img.shape[-1]
                 return (img.reshape(lead + (H, W, c)),
                         mask.reshape(lead + (H, W)))
-            points = jnp.swapaxes(points, -1, -2)
+            points = jnp.stack((x, y, z, rem), axis=-1)
         lead = points.shape[:-2]
         n = points.shape[-2]
         pts = points.reshape((-1, n, 4))

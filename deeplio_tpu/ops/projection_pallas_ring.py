@@ -77,10 +77,34 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     # -- flat cummax: invalid points inherit the previous valid pixel -------
     # (two-level like every scan here: lane rounds + row carry + fixup; XLA's
     # reduce-window cummax on the unchunked batch measured 8 ms/step).
-    for k in range(LOG_LANES):
+    #
+    # ADAPTIVE ROUNDS: ring-ordered scans settle in K0 rounds — after K0
+    # windowed rounds, a row-wise NONDECREASING pix sequence proves the
+    # windowed cummax equals the prefix cummax (each value >= its
+    # predecessor >= ... >= every earlier value), so the remaining rounds
+    # are skipped unless a violation (an unfilled -1 beyond the window, or
+    # out-of-ring-order pixels) is present. Exactness is data-independent:
+    # the gated branch runs the FULL remaining rounds whenever the cheap
+    # monotonicity check fails. (Same pattern gates the segmented min-scan
+    # and the expansion's high bits below; bench: docs/performance.md.)
+    K0 = min(4, LOG_LANES)
+    for k in range(K0):
         d = 1 << k
         pix = jnp.maximum(pix, jnp.where(lane >= d, pltpu.roll(pix, d, 1),
                                          -1))
+    viol1 = jnp.max(jnp.where(
+        (lane >= 1) & (pix < pltpu.roll(pix, 1, 1)), 1, 0))
+    spix_ref[:] = pix
+
+    @pl.when(viol1 > 0)
+    def _cummax_rest():
+        p = spix_ref[:]
+        for k in range(K0, LOG_LANES):
+            d = 1 << k
+            p = jnp.maximum(p, jnp.where(lane >= d, pltpu.roll(p, d, 1), -1))
+        spix_ref[:] = p
+
+    pix = spix_ref[:]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     rounds_r = max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0
     rmax = pix[:, LANES - 1:]
@@ -104,8 +128,12 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     # origin-fill flag is redundant — a position j >= 2^k (the only ones
     # whose m_prev isn't big-filled) has window (j-2^k, j], which cannot
     # reach the row origin, so "saw origin or boundary" == g there.
+    # Adaptive rounds: a lane is settled once its window saw a boundary
+    # (g==1) or reached the row origin (lane < window). Ring scans have
+    # ~2-point runs, so K0 rounds settle everything; long runs (e.g.
+    # interleaved invalid masks) take the gated full-rounds branch.
     g = start                    # boundary OR over the (2^k)-window
-    for k in range(LOG_LANES):
+    for k in range(K0):
         d = 1 << k
         in_range = lane >= d
         m_prev = jnp.where(in_range, pltpu.roll(m, d, 1), big)
@@ -115,6 +143,37 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         p1 = jnp.where(take, pltpu.roll(p1, d, 1), p1)
         p2 = jnp.where(take, pltpu.roll(p2, d, 1), p2)
         g = g | g_prev
+    viol2 = jnp.max(jnp.where((g == 0) & (lane >= (1 << K0)), 1, 0))
+    spix_ref[:] = m
+    skey_ref[:] = g
+    s1_ref[:] = p1
+    s2_ref[:] = p2
+
+    @pl.when(viol2 > 0)
+    def _segmin_rest():
+        m_ = spix_ref[:]
+        g_ = skey_ref[:]
+        p1_ = s1_ref[:]
+        p2_ = s2_ref[:]
+        for k in range(K0, LOG_LANES):
+            d = 1 << k
+            in_range = lane >= d
+            m_prev = jnp.where(in_range, pltpu.roll(m_, d, 1), big)
+            g_prev = jnp.where(in_range, pltpu.roll(g_, d, 1), 0)
+            take = (g_ == 0) & (m_prev < m_)
+            m_ = jnp.where(take, m_prev, m_)
+            p1_ = jnp.where(take, pltpu.roll(p1_, d, 1), p1_)
+            p2_ = jnp.where(take, pltpu.roll(p2_, d, 1), p2_)
+            g_ = g_ | g_prev
+        spix_ref[:] = m_
+        skey_ref[:] = g_
+        s1_ref[:] = p1_
+        s2_ref[:] = p2_
+
+    m = spix_ref[:]
+    g = skey_ref[:]
+    p1 = s1_ref[:]
+    p2 = s2_ref[:]
 
     # row aggregates at the last lane -> [R, 1] carry scan over rows.
     F = g[:, LANES - 1:]                      # row has a real boundary
@@ -242,7 +301,49 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     live = jnp.where((dest >= olane) & (dest < LANES) & (owin_pix != big),
                      1, 0)
     delta = jnp.where(live == 1, dest - olane, 0)
-    for k in reversed(range(LOG_LANES)):
+
+    # Adaptive high bits: deltas are known upfront; on dense scans the
+    # j-th winner of a block lands near lane j (delta = #empty pixels
+    # skipped), so the MSB rounds are no-ops unless some delta >= 2^K0E.
+    # The compact-buffer scratch (cpix/ckey/cp1/cp2) and wwin are dead at
+    # this point and host the gated branch's values.
+    K0E = min(5, LOG_LANES)
+    hi_viol = jnp.max(jnp.where((live == 1) & (delta >= (1 << K0E)), 1, 0))
+    cpix_ref[pl.ds(0, OUT_R), :] = okey
+    ckey_ref[pl.ds(0, OUT_R), :] = o1
+    cp1_ref[pl.ds(0, OUT_R), :] = o2
+    cp2_ref[pl.ds(0, OUT_R), :] = delta
+    wwin_ref[:] = live
+
+    @pl.when(hi_viol > 0)
+    def _expand_hi():
+        okey_ = cpix_ref[pl.ds(0, OUT_R), :]
+        o1_ = ckey_ref[pl.ds(0, OUT_R), :]
+        o2_ = cp1_ref[pl.ds(0, OUT_R), :]
+        delta_ = cp2_ref[pl.ds(0, OUT_R), :]
+        live_ = wwin_ref[:]
+        for k in reversed(range(K0E, LOG_LANES)):
+            d = 1 << k
+            move = live_ * (((delta_ >> k) & 1) == 1)
+            move_in = pltpu.roll(move, d, 1)
+            mv = move_in == 1
+            okey_ = jnp.where(mv, pltpu.roll(okey_, d, 1), okey_)
+            o1_ = jnp.where(mv, pltpu.roll(o1_, d, 1), o1_)
+            o2_ = jnp.where(mv, pltpu.roll(o2_, d, 1), o2_)
+            delta_ = jnp.where(mv, pltpu.roll(delta_, d, 1) - d, delta_)
+            live_ = (live_ & (1 - move)) | move_in
+        cpix_ref[pl.ds(0, OUT_R), :] = okey_
+        ckey_ref[pl.ds(0, OUT_R), :] = o1_
+        cp1_ref[pl.ds(0, OUT_R), :] = o2_
+        cp2_ref[pl.ds(0, OUT_R), :] = delta_
+        wwin_ref[:] = live_
+
+    okey = cpix_ref[pl.ds(0, OUT_R), :]
+    o1 = ckey_ref[pl.ds(0, OUT_R), :]
+    o2 = cp1_ref[pl.ds(0, OUT_R), :]
+    delta = cp2_ref[pl.ds(0, OUT_R), :]
+    live = wwin_ref[:]
+    for k in reversed(range(K0E)):
         d = 1 << k
         move = live * (((delta >> k) & 1) == 1)
         move_in = pltpu.roll(move, d, 1)

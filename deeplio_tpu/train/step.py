@@ -8,9 +8,12 @@ the ``data`` mesh axis (XLA collectives over ICI — the reference has no
 distributed backend at all, SURVEY.md §2.7).
 
 Raw batch contract (host pipeline output; everything static-shaped):
-    points:       [B, S, 4, N] float32   (lidar archs; S window frames;
-                  SoA channel planes — contiguous plane slices feed the
-                  Mosaic projection prologue with no relayout copy)
+    points_x/points_y/points_z/points_rem: [B, S, N] float32 (lidar
+                  archs; S window frames; SoA channel planes — separate
+                  natively-tiled arrays feed the Mosaic projection
+                  prologue with no relayout copy; an AoS [B,S,N,4]
+                  "points" or a single [B,S,4,N] array both force a
+                  ~0.9 ms/step re-tiling copy, see docs/performance.md)
     points_valid: [B, S, N]   bool
     imu:          [B, P, T, 6] float32   (imu archs)
     imu_mask:     [B, P, T]   float32
@@ -54,7 +57,10 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
             # the pair stack in f32 would double the step's largest tensor.
             imgs = raw["images"].astype(_dtype_of(cfg.model.compute_dtype))
         else:
-            imgs, _ = projector(raw["points"], raw["points_valid"])
+            imgs, _ = projector(
+                (raw["points_x"], raw["points_y"],
+                 raw["points_z"], raw["points_rem"]),
+                raw["points_valid"])
         lc = cfg.model.lidar
         if lc is not None and lc.stem == "factorized":
             # Factorized stem consumes per-frame images directly — the
@@ -100,7 +106,7 @@ def build_train_step(
     ds = cfg.datasets
     projector = make_projector(ds.projection, ds.channels, ds.mean, ds.std,
                                out_dtype=_dtype_of(cfg.model.compute_dtype),
-                               layout="soa")
+                               layout="planes")
 
     def _loss_fn(trainables, batch_stats, raw, dropout_rng):
         variables = {"params": trainables["model"]}
@@ -125,7 +131,7 @@ def build_train_step(
         sub = jax.random.fold_in(sub, jax.lax.axis_index(DATA_AXIS))
         if ds.augment_yaw:
             aug_rng, sub = jax.random.split(sub)
-            raw = yaw_augment(raw, aug_rng, points_layout="soa")
+            raw = yaw_augment(raw, aug_rng)
         grads, (metrics, new_stats) = jax.grad(_loss_fn, has_aux=True)(
             state.trainables, state.batch_stats, raw, sub)
         grads = jax.lax.pmean(grads, DATA_AXIS)

@@ -47,8 +47,9 @@ def _compute():
     drive = SyntheticDrive(n_frames=8, max_points=8192, seed=42)
     ds = WindowDataset(cfg.datasets, [drive], with_points=True)
     item = ds.get(2)
-    # Dataset delivers SoA [S, 4, N]; the golden oracle takes AoS.
-    pts = jnp.asarray(item["points"][0].T)[None]
+    # Dataset delivers SoA channel planes; the golden oracle takes AoS.
+    pts = jnp.asarray(np.stack(
+        [item[f"points_{k}"][0] for k in "x y z rem".split()], -1))[None]
     vld = jnp.asarray(item["points_valid"][0])[None]
     img, mask = proj.project_batch(pts, vld, 32, 256, 3.0, -25.0)
     img = np.asarray(img)[0]

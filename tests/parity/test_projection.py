@@ -412,11 +412,11 @@ class TestTiledSegScan:
         np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
 
 
-def test_make_projector_soa_matches_aos():
-    """layout="soa" ([..., 4, N] channel planes — the train-step contract)
-    is bit-identical to the AoS projector on transposed input (CPU takes
-    the swapaxes fallback; on TPU the Mosaic planes prologue is exercised
-    by the bench/train entry points)."""
+def test_make_projector_planes_matches_aos():
+    """layout="planes" (x/y/z/rem plane tuple — the train-step contract)
+    is bit-identical to the AoS projector (CPU takes the stack fallback;
+    on TPU the Mosaic planes prologue is exercised by the bench/train
+    entry points)."""
     from deeplio_tpu.config.schema import ProjectionConfig
 
     cfg = ProjectionConfig(height=16, width=128, fov_up_deg=3.0,
@@ -427,8 +427,9 @@ def test_make_projector_soa_matches_aos():
     pts = rng.normal(size=(2, 3, 2048, 4)).astype(np.float32) * 10
     vld = rng.uniform(size=(2, 3, 2048)) > 0.1
     fa = jax.jit(proj.make_projector(cfg, ch))
-    fs = jax.jit(proj.make_projector(cfg, ch, layout="soa"))
+    fs = jax.jit(proj.make_projector(cfg, ch, layout="planes"))
     ia, ma = fa(jnp.asarray(pts), jnp.asarray(vld))
-    is_, ms = fs(jnp.asarray(pts.transpose(0, 1, 3, 2)), jnp.asarray(vld))
+    planes = tuple(jnp.asarray(pts[..., k]) for k in range(4))
+    is_, ms = fs(planes, jnp.asarray(vld))
     np.testing.assert_array_equal(np.asarray(is_), np.asarray(ia))
     np.testing.assert_array_equal(np.asarray(ms), np.asarray(ma))

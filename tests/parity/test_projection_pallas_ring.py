@@ -125,3 +125,24 @@ def test_lane_width_sweep_bit_identical(lanes):
                                      payload="carry-f16")
     np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_long_equal_pixel_run_takes_gated_branch():
+    """A 3000-point run of one pixel mid-scan defeats the K0-round settle
+    check: the adaptive seg-min must take its full-rounds branch and stay
+    bit-identical to the XLA twin (run winner = min key over the run)."""
+    pts, valid = _ring_cloud(7)
+    p = np.array(pts)
+    # collapse points 2000..5000 onto one direction (same pixel), varied
+    # ranges so the winner is a real min over the whole run
+    rng = np.random.default_rng(8)
+    rr = rng.uniform(2.0, 70.0, 3000)
+    d = p[0, 2500] / np.linalg.norm(p[0, 2500, :3])
+    p[0, 2000:5000, :3] = d[None, :3] * rr[:, None] * 30.0
+    pts = jnp.asarray(p)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))

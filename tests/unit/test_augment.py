@@ -75,9 +75,9 @@ def test_identity_when_quaternion_identity(rng):
                                atol=1e-6)
 
 
-def test_soa_rotation_matches_aos(rng):
-    """points_layout="soa" (the train-step contract, [B,S,4,N]) rotates
-    identically to the AoS path on transposed data."""
+def test_plane_rotation_matches_aos(rng):
+    """SoA plane keys (points_x/y/z/rem, the train-step contract) rotate
+    identically to the AoS path; z/rem pass through untouched."""
     pts = rng.normal(size=(2, 2, 64, 4)).astype(np.float32)
     base = {
         "x_gt": jnp.zeros((2, 1, 3)),
@@ -85,9 +85,10 @@ def test_soa_rotation_matches_aos(rng):
     }
     key = jax.random.PRNGKey(11)
     out_a = yaw_augment({**base, "points": jnp.asarray(pts)}, key)
-    out_s = yaw_augment(
-        {**base, "points": jnp.asarray(pts.transpose(0, 1, 3, 2))}, key,
-        points_layout="soa")
-    np.testing.assert_allclose(
-        np.asarray(out_s["points"]).transpose(0, 1, 3, 2),
-        np.asarray(out_a["points"]), atol=1e-6)
+    planes = {f"points_{k}": jnp.asarray(pts[..., i])
+              for i, k in enumerate("x y z rem".split())}
+    out_p = yaw_augment({**base, **planes}, key)
+    got = np.stack([np.asarray(out_p[f"points_{k}"])
+                    for k in "x y z rem".split()], axis=-1)
+    np.testing.assert_allclose(got, np.asarray(out_a["points"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_p["points_z"]), pts[..., 2])

@@ -37,7 +37,7 @@ def test_item_shapes(cfg, ds):
     assert it["imu_mask"].shape == (P, T)
     assert it["x_gt"].shape == (P, 3)
     assert it["q_gt"].shape == (P, 4)
-    assert "points" not in it  # deepio: points skipped
+    assert "points_x" not in it  # deepio: points skipped
     # ~10 IMU samples between 10 Hz frames at 100 Hz
     n_imu = int(it["imu_mask"][0].sum())
     assert 5 <= n_imu <= 16
@@ -47,7 +47,8 @@ def test_points_included_for_lidar_arch():
     cfg = load_config("configs/deeplo_synth.yaml")
     ds = build_dataset(cfg, "train")
     it = ds.get(0)
-    assert it["points"].shape == (2, 4, cfg.datasets.projection.max_points)
+    for k in ("points_x", "points_y", "points_z", "points_rem"):
+        assert it[k].shape == (2, cfg.datasets.projection.max_points)
     assert it["points_valid"].any()
 
 

@@ -53,7 +53,7 @@ class TestCache:
         ds = WindowDataset(cfg.datasets, drives, with_points=True,
                            image_cache=cache)
         item = ds.get(0)
-        assert "points" not in item and "images" in item
+        assert "points_x" not in item and "images" in item
         S = cfg.datasets.sequence_size
         p = cfg.datasets.projection
         assert item["images"].shape == (
