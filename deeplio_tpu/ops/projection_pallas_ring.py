@@ -143,7 +143,13 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         p1 = jnp.where(take, pltpu.roll(p1, d, 1), p1)
         p2 = jnp.where(take, pltpu.roll(p2, d, 1), p2)
         g = g | g_prev
-    viol2 = jnp.max(jnp.where((g == 0) & (lane >= (1 << K0)), 1, 0))
+    # Out-of-range runs (pix >= n_pix: the re-keyed invalid tail, see the
+    # wrapper) are excluded from the settle check — their winners are
+    # discarded wholesale downstream (dest >= LANES in the expansion, not
+    # counted by rank bounds), and seg-min propagation only flows FORWARD
+    # into them, so an unsettled tail cannot corrupt in-range results.
+    viol2 = jnp.max(jnp.where(
+        (g == 0) & (lane >= (1 << K0)) & (pix < OUT_R * LANES), 1, 0))
     spix_ref[:] = m
     skey_ref[:] = g
     s1_ref[:] = p1
@@ -419,6 +425,20 @@ def project_batch_ring_pallas_planes(
     u, v, r = spherical_uv_planes(x, y, z, H, W, fov_up_deg, fov_down_deg)
     ok = valid & (r > 1e-6)
     pix = jnp.where(ok, v * W + u, -1)        # cummax happens in-kernel
+    # Re-key a PURE-TAIL invalid suffix (the loaders' only invalid shape:
+    # real scans padded to max_points) to its own out-of-range run at
+    # pix = n_pix: the tail then stops stretching the last real run, so
+    # the kernel's adaptive seg-min settles on real padded scans, and the
+    # tail "winner" is discarded downstream (dest >= LANES, rank bounds
+    # never count pix >= n_pix). Interleaved masks fail the pure-tail
+    # check and keep the exact inherit-previous-pixel semantics,
+    # bit-identical to the XLA twin either way (parity suite).
+    oki = ok.astype(jnp.int32)
+    idx0 = jnp.arange(n, dtype=jnp.int32)[None, :]
+    count = jnp.sum(oki, axis=1, keepdims=True)
+    pure = jnp.sum(jnp.where(idx0 < count, oki, 0), axis=1,
+                   keepdims=True) == count
+    pix = jnp.where(pure & ~ok & (idx0 >= count), n_pix, pix)
     rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
     rqv = jnp.where(ok, rq, rq_max)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))

@@ -146,3 +146,19 @@ def test_long_equal_pixel_run_takes_gated_branch():
                                      payload="carry-f16")
     np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_pure_tail_invalid_mask_rekeyed():
+    """The loader shape (real points + invalid tail padding) is re-keyed to
+    an out-of-range run so the adaptive gates settle — results must stay
+    bit-identical to the XLA twin, which keeps inherit semantics."""
+    pts, _ = _ring_cloud(12, b=2)
+    valid = np.ones((2, N), bool)
+    valid[0, 5000:] = False           # 3192-lane tail
+    valid[1, 7900:] = False
+    ik, mk = ppr.project_batch_ring_pallas(pts, jnp.asarray(valid),
+                                           H, W, FU, FD, interpret=True)
+    ix, mx = proj.project_batch_ring(pts, jnp.asarray(valid), H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
