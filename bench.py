@@ -138,15 +138,23 @@ def main():
     train_step, _ = build_train_step(cfg, model, tx, mesh)
 
     batch_size = BATCH * n_chips
-    # One host synthesis (the ring-layout generator is the expensive part),
-    # then batch-axis rolls for distinct staged buffers.
+    # One host synthesis + ONE transfer; the other distinct buffers are
+    # derived on device with jitted batch-axis rolls (identical content to
+    # the old host-side np.roll staging, ~1/N_BATCHES the relay transfer
+    # time — the staging phase was the bench's biggest timeout hazard on a
+    # degraded relay).
+    import jax.numpy as jnp
     raw = _raw_batch(cfg, batch_size, seed=0)
-    batches = []
-    for s in range(N_BATCHES):
-        rolled = {k: np.roll(v, s, axis=0) for k, v in raw.items()}
-        batches.append(shard_batch(mesh, rolled))
+    batches = [shard_batch(mesh, raw)]
+    jax.block_until_ready(batches[0]["points_x"])
+    _log(f"staged device batch 1/{N_BATCHES} (host transfer)")
+    roll = jax.jit(
+        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
+        static_argnums=1)
+    for s in range(1, N_BATCHES):
+        batches.append(roll(batches[0], s))
         jax.block_until_ready(batches[-1]["points_x"])
-        _log(f"staged device batch {s + 1}/{N_BATCHES}")
+        _log(f"staged device batch {s + 1}/{N_BATCHES} (device-side roll)")
 
     for i in range(WARMUP):
         _log(f"warmup step {i + 1}/{WARMUP} dispatched"

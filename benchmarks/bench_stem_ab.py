@@ -41,7 +41,7 @@ def _parse_val(v: str):
     return v
 
 
-def run_variant(overrides: dict, iters: int, batches_np) -> float:
+def run_variant(overrides: dict, iters: int, raw) -> float:
     d = yaml.safe_load(_FLAGSHIP)
     d["lidar-feat-pointseg"].update(overrides)
     cfg = load_config_dict(d)
@@ -59,7 +59,14 @@ def run_variant(overrides: dict, iters: int, batches_np) -> float:
     jax.config.update("jax_compilation_cache_dir", old_dir)
     state = replicate(mesh, state)
     train_step, _ = build_train_step(cfg, model, tx, mesh)
-    batches = [shard_batch(mesh, b) for b in batches_np]
+    # One transfer; distinct buffers via device-side batch rolls (see
+    # bench.py — staging was the relay-timeout hazard).
+    import jax.numpy as jnp
+    roll = jax.jit(
+        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
+        static_argnums=1)
+    batches = [shard_batch(mesh, raw)]
+    batches += [roll(batches[0], s) for s in (1, 2)]
 
     for i in range(3):
         state, m = train_step(state, batches[i % len(batches)])
@@ -102,11 +109,9 @@ def main():
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     n_chips = len(jax.devices())
     raw = _raw_batch(cfg, BATCH * n_chips, seed=0)
-    batches_np = [{k: np.roll(v, s, axis=0) for k, v in raw.items()}
-                  for s in range(3)]
 
     for over in variants:
-        run_variant(over, args.iters, batches_np)
+        run_variant(over, args.iters, raw)
 
 
 if __name__ == "__main__":

@@ -53,9 +53,12 @@ def main():
     state = replicate(mesh, state)
     train_step, _ = build_train_step(cfg, model, tx, mesh)
     raw = _raw_batch(cfg, BATCH * len(jax.devices()), seed=0)
-    batches = [shard_batch(mesh, {k: np.roll(v, s, axis=0)
-                                  for k, v in raw.items()})
-               for s in range(3)]
+    import jax.numpy as jnp
+    roll = jax.jit(
+        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
+        static_argnums=1)
+    batches = [shard_batch(mesh, raw)]
+    batches += [roll(batches[0], s) for s in (1, 2)]
 
     for i in range(3):
         state, m = train_step(state, batches[i % 3])
