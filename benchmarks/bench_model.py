@@ -81,6 +81,7 @@ def main():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         return jnp.sum(imgs.astype(jnp.float32))
 
     dev_raws = [{k: jax.device_put(v) for k, v in r.items()} for r in raws]
@@ -94,6 +95,7 @@ def main():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

@@ -61,6 +61,7 @@ def main():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),
@@ -85,6 +86,7 @@ def main():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         return imgs
 
     t_a = time_fn(lambda r: jnp.sum(proj_only(r).astype(jnp.float32)),
@@ -108,6 +110,7 @@ def main():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         return v + 0.0 * gsum, imgs
 
     def run_c(i):
@@ -150,6 +153,7 @@ def shardmap_variant():
         imgs, _ = projector(
             (raw["points_x"], raw["points_y"],
              raw["points_z"], raw["points_rem"]), raw["points_valid"])
+        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

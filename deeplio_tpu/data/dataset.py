@@ -24,6 +24,25 @@ from deeplio_tpu.data import np_spatial as nsp
 from deeplio_tpu.data.drives import Drive, KittiRawDrive, SyntheticDrive
 
 
+# Keys collated FLAT ([B*S, ...] instead of [B, S, ...]): the train step
+# consumes per-frame planes, and a device-side (B, S)->B*S merge is not
+# layout-free under TPU tiling (XLA materializes ~0.4 ms reshape copies
+# per kernel operand at flagship scale) — the host view reshape is free.
+_FLAT_KEYS = ("points_x", "points_y", "points_z", "points_rem",
+              "points_valid")
+
+
+def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-item dicts into a host batch (plane keys flattened)."""
+    out = {}
+    for k in items[0]:
+        v = np.stack([it[k] for it in items])
+        if k in _FLAT_KEYS:
+            v = v.reshape((-1,) + v.shape[2:])
+        out[k] = v
+    return out
+
+
 class WindowDataset:
     def __init__(self, ds_cfg: DatasetConfig, drives: Sequence[Drive],
                  with_points: bool = True, image_cache=None):
@@ -127,13 +146,13 @@ class WindowDataset:
             for b0 in range(0, end, batch_size):
                 sel = order[b0 + lo:b0 + lo + local]
                 items = [self.get(int(i)) for i in sel]
-                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+                yield collate(items)
             return
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for b0 in range(0, end, batch_size):
                 sel = order[b0 + lo:b0 + lo + local]
                 items = list(pool.map(self.get, (int(i) for i in sel)))
-                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+                yield collate(items)
 
     def steps_per_epoch(self, batch_size: int) -> int:
         return len(self) // batch_size

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 
 from deeplio_tpu.config.schema import Config
-from deeplio_tpu.data.dataset import WindowDataset
+from deeplio_tpu.data.dataset import WindowDataset, collate
 from deeplio_tpu.data.drives import Drive
 from deeplio_tpu.data.pipeline import DevicePrefetcher
 from deeplio_tpu.eval import metrics as em
@@ -75,7 +75,7 @@ def predict_drive(cfg: Config, eval_step, state, mesh, drive: Drive,
                 gsel.extend(gsel[-1:] * (bs - len(gsel)))  # pad tail batch
                 sel = gsel[lo:lo + local_bs]
                 items = list(pool.map(ds.get, sel))
-                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+                yield collate(items)
 
     starts_done = 0
     for batch in DevicePrefetcher(batches(), mesh, depth=2,

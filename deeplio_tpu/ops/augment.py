@@ -40,7 +40,7 @@ def yaw_augment(raw: Dict[str, jax.Array], rng: jax.Array
     """Apply one random global yaw per batch item to points + GT.
 
     raw: the train-step batch — points as SoA channel planes
-    ``points_x/points_y/points_z/points_rem`` [B,S,N] (the step contract;
+    ``points_x/points_y/points_z/points_rem`` [B*S,N] (the step contract;
     only the x/y planes are touched, z/rem pass through untouched) or
     legacy AoS ``points`` [B,S,N,4] — plus x_gt [B,P,3], q_gt [B,P,4],
     imu [B,P,T,6], ... Rotating the body points by Rz(phi)
@@ -55,9 +55,10 @@ def yaw_augment(raw: Dict[str, jax.Array], rng: jax.Array
 
     if "points_x" in raw:
         x, y = raw["points_x"], raw["points_y"]
-        shape = (c.shape[0],) + (1,) * (x.ndim - 1)
-        cP = c.reshape(shape)
-        sP = s.reshape(shape)
+        rep = x.shape[0] // b          # frames per window (flat [B*S, N])
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        cP = jnp.repeat(c, rep).reshape(shape)
+        sP = jnp.repeat(s, rep).reshape(shape)
         out["points_x"] = cP * x - sP * y
         out["points_y"] = sP * x + cP * y
     if "points" in raw:

@@ -489,6 +489,12 @@ def project_batch_ring_pallas_planes(
             pltpu.VMEM((2 * R, 1), jnp.int32),           # off ++ cnt
             pltpu.VMEM((OUT_R, LANES_), jnp.int32),       # window pix
         ],
+        # The adaptive-rounds gates (scratch-staged pl.when branches)
+        # raise peak scoped-VMEM past the 16M default (measured 17.9M at
+        # flagship R=64/OUT_R=32: the branch bodies' live sets overlap
+        # the mainline's) — give Mosaic room.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(pix.reshape(shape3), mkey.reshape(shape3),
       p1.reshape(shape3), p2.reshape(shape3))

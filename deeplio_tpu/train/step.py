@@ -8,13 +8,15 @@ the ``data`` mesh axis (XLA collectives over ICI — the reference has no
 distributed backend at all, SURVEY.md §2.7).
 
 Raw batch contract (host pipeline output; everything static-shaped):
-    points_x/points_y/points_z/points_rem: [B, S, N] float32 (lidar
-                  archs; S window frames; SoA channel planes — separate
-                  natively-tiled arrays feed the Mosaic projection
-                  prologue with no relayout copy; an AoS [B,S,N,4]
-                  "points" or a single [B,S,4,N] array both force a
-                  ~0.9 ms/step re-tiling copy, see docs/performance.md)
-    points_valid: [B, S, N]   bool
+    points_x/points_y/points_z/points_rem: [B*S, N] float32 (lidar
+                  archs; S window frames per item, FLAT — SoA channel
+                  planes; separate natively-tiled arrays feed the Mosaic
+                  projection prologue with no relayout copy. An AoS
+                  [B,S,N,4] "points" or a single [B,S,4,N] array forces a
+                  ~0.9 ms/step re-tiling copy, and [B,S,N] planes
+                  materialize ~0.4 ms (B,S)-merge reshapes per kernel
+                  operand — the flat host view is free. docs/performance.md)
+    points_valid: [B*S, N]   bool
     imu:          [B, P, T, 6] float32   (imu archs)
     imu_mask:     [B, P, T]   float32
     x_gt:         [B, P, 3],  q_gt: [B, P, 4],  valid: [B, P]
@@ -61,6 +63,9 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
                 (raw["points_x"], raw["points_y"],
                  raw["points_z"], raw["points_rem"]),
                 raw["points_valid"])
+            # [B*S, H, W, C] -> [B, S, H, W, C]: dim-0 split, layout-free.
+            b = raw["x_gt"].shape[0]
+            imgs = imgs.reshape((b, -1) + imgs.shape[1:])
         lc = cfg.model.lidar
         if lc is not None and lc.stem == "factorized":
             # Factorized stem consumes per-frame images directly — the

@@ -76,8 +76,9 @@ def test_identity_when_quaternion_identity(rng):
 
 
 def test_plane_rotation_matches_aos(rng):
-    """SoA plane keys (points_x/y/z/rem, the train-step contract) rotate
-    identically to the AoS path; z/rem pass through untouched."""
+    """FLAT SoA plane keys (points_x/y/z/rem [B*S,N], the train-step
+    contract) rotate identically to the AoS path with the per-window
+    angle repeated over each window's frames; z/rem pass untouched."""
     pts = rng.normal(size=(2, 2, 64, 4)).astype(np.float32)
     base = {
         "x_gt": jnp.zeros((2, 1, 3)),
@@ -85,10 +86,11 @@ def test_plane_rotation_matches_aos(rng):
     }
     key = jax.random.PRNGKey(11)
     out_a = yaw_augment({**base, "points": jnp.asarray(pts)}, key)
-    planes = {f"points_{k}": jnp.asarray(pts[..., i])
+    planes = {f"points_{k}": jnp.asarray(pts[..., i].reshape(4, 64))
               for i, k in enumerate("x y z rem".split())}
     out_p = yaw_augment({**base, **planes}, key)
-    got = np.stack([np.asarray(out_p[f"points_{k}"])
+    got = np.stack([np.asarray(out_p[f"points_{k}"]).reshape(2, 2, 64)
                     for k in "x y z rem".split()], axis=-1)
     np.testing.assert_allclose(got, np.asarray(out_a["points"]), atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(out_p["points_z"]), pts[..., 2])
+    np.testing.assert_array_equal(
+        np.asarray(out_p["points_z"]).reshape(2, 2, 64), pts[..., 2])
