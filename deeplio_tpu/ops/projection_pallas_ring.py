@@ -59,11 +59,21 @@ SENTINEL = np.int32(2**31 - 1)
 
 
 def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
+                 PACKED: bool, IDX_BITS: int, RQ_BITS: int,
                  pix_ref, key_ref, p1_ref, p2_ref,
                  okey_ref, op1_ref, op2_ref,
                  cpix_ref, ckey_ref, cp1_ref, cp2_ref,
                  spix_ref, skey_ref, s1_ref, s2_ref, meta_ref, wwin_ref):
-    """One scan: [R, LANES] ring-ordered points -> [OUT_R, LANES] pixels."""
+    """One scan: [R, LANES] ring-ordered points -> [OUT_R, LANES] pixels.
+
+    PACKED route: after the seg-min the winner's (pix, rq) pair fits one
+    int32 (``pix << RQ_BITS | rq``; feasibility checked by the wrapper —
+    the idx tie-break bits are dead once winners are chosen), so the
+    compaction routes 3 data arrays instead of 4 and the store/gather
+    loops touch 3 compact buffers instead of 4. Output okey then holds
+    the packed word; the wrapper decodes rq from the low bits.
+    Bit-identical winners/masks/payloads either way (parity suite runs
+    both routes)."""
     big = jnp.int32(SENTINEL)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -220,18 +230,19 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     cnt_col = rank[:, LANES - 1:]                     # [R, 1] winners per row
     rank = rank - endi                                # exclusive = local dest
 
+    if PACKED:
+        data = [(pix << RQ_BITS) | jax.lax.shift_right_logical(m, IDX_BITS),
+                p1, p2]
+    else:
+        data = [pix, m, p1, p2]
     live = endi
     delta = jnp.where(endi == 1, lane - rank, 0)
-    wpix, wkey, w1, w2 = pix, m, p1, p2
     for k in range(LOG_LANES):
         d = 1 << k
         move = live * (((delta >> k) & 1) == 1)
         move_in = pltpu.roll(move, LANES - d, 1)
         mv = move_in == 1
-        wpix = jnp.where(mv, pltpu.roll(wpix, LANES - d, 1), wpix)
-        wkey = jnp.where(mv, pltpu.roll(wkey, LANES - d, 1), wkey)
-        w1 = jnp.where(mv, pltpu.roll(w1, LANES - d, 1), w1)
-        w2 = jnp.where(mv, pltpu.roll(w2, LANES - d, 1), w2)
+        data = [jnp.where(mv, pltpu.roll(a, LANES - d, 1), a) for a in data]
         delta = jnp.where(mv, pltpu.roll(delta, LANES - d, 1) - d, delta)
         live = (live & (1 - move)) | move_in
 
@@ -244,17 +255,20 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
 
     # stage winner arrays + per-row (offset, count) in scratch so the
     # sequential loops below can dynamically index them as REFS.
-    spix_ref[:] = wpix
-    skey_ref[:] = wkey
-    s1_ref[:] = w1
-    s2_ref[:] = w2
+    stage_refs = ([spix_ref, s1_ref, s2_ref] if PACKED
+                  else [spix_ref, skey_ref, s1_ref, s2_ref])
+    compact_refs = ([cpix_ref, cp1_ref, cp2_ref] if PACKED
+                    else [cpix_ref, ckey_ref, cp1_ref, cp2_ref])
+    for ref, a in zip(stage_refs, data):
+        ref[:] = a
     meta_ref[pl.ds(0, R), :] = off_col
     meta_ref[pl.ds(R, R), :] = cnt_col
 
     # -- 3. concatenate rows' winners into the compact buffers --------------
     # (sentinel-fill pix/key first: expansion windows read past the tail)
     cpix_ref[:] = jnp.full((OUT_R + 2, LANES), big)
-    ckey_ref[:] = jnp.full((OUT_R + 2, LANES), big)
+    if not PACKED:
+        ckey_ref[:] = jnp.full((OUT_R + 2, LANES), big)
 
     def store_row(r, _):
         o = meta_ref[pl.ds(r, 1), :][0, 0]
@@ -264,8 +278,7 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         mask = pltpu.roll(jnp.where(lane1 < c, 1, 0), s, 1)
         hi = (mask == 1) & (lane1 >= s)
         lo = (mask == 1) & (lane1 < s)
-        for src, dst in ((spix_ref, cpix_ref), (skey_ref, ckey_ref),
-                         (s1_ref, cp1_ref), (s2_ref, cp2_ref)):
+        for src, dst in zip(stage_refs, compact_refs):
             vrot = pltpu.roll(src[pl.ds(r, 1), :], s, 1)
             dst[pl.ds(q, 1), :] = jnp.where(hi, vrot, dst[pl.ds(q, 1), :])
             dst[pl.ds(q + 1, 1), :] = jnp.where(lo, vrot,
@@ -277,15 +290,22 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     # -- 4. per-block rank bounds (cheap at wide LANES: OUT_R reduces over
     # the compact buffer) + windowed expansion.
     cpix_all = cpix_ref[:]
+    pix_thresh_shift = RQ_BITS if PACKED else 0
 
     def gather_block(o, _):
-        lo = jnp.sum(jnp.where(cpix_all < o * LANES, 1, 0))
+        lo = jnp.sum(jnp.where(cpix_all < (o * LANES) << pix_thresh_shift,
+                               1, 0))
         q = lo // LANES
         s = lo % LANES
         sh = (LANES - s) % LANES
         sel = lane1 < LANES - s
-        for dst, buf in ((okey_ref, ckey_ref), (op1_ref, cp1_ref),
-                         (op2_ref, cp2_ref), (wwin_ref, cpix_ref)):
+        if PACKED:
+            pairs = ((okey_ref, cpix_ref), (op1_ref, cp1_ref),
+                     (op2_ref, cp2_ref))
+        else:
+            pairs = ((okey_ref, ckey_ref), (op1_ref, cp1_ref),
+                     (op2_ref, cp2_ref), (wwin_ref, cpix_ref))
+        for dst, buf in pairs:
             a = buf[pl.ds(q, 1), :]
             b = buf[pl.ds(q + 1, 1), :]
             w = jnp.where(sel, pltpu.roll(a, sh, 1), pltpu.roll(b, sh, 1))
@@ -297,15 +317,17 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     # batched local expansion: window lane j of block o holds the
     # (rank_lo[o]+j)-th winner; this block's winners sit at j < cnt_o with
     # strictly increasing dests in [j, LANES).
-    owin_pix = wwin_ref[:]
     okey = okey_ref[:]
     o1 = op1_ref[:]
     o2 = op2_ref[:]
+    owin_pix = (jax.lax.shift_right_logical(okey, RQ_BITS) if PACKED
+                else wwin_ref[:])
     orow = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 0)
     olane = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 1)
     dest = owin_pix - orow * LANES
-    live = jnp.where((dest >= olane) & (dest < LANES) & (owin_pix != big),
-                     1, 0)
+    sentinel_pix = jax.lax.shift_right_logical(big, RQ_BITS) if PACKED else big
+    live = jnp.where((dest >= olane) & (dest < LANES)
+                     & (owin_pix != sentinel_pix), 1, 0)
     delta = jnp.where(live == 1, dest - olane, 0)
 
     # Adaptive high bits: deltas are known upfront; on dense scans the
@@ -378,6 +400,7 @@ def project_batch_ring_pallas(
     fov_down_deg: float,
     interpret: bool = False,
     lanes: int = LANES,
+    packed_route: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Same contract as ``project_batch_ring(payload="carry-f16")``.
 
@@ -387,7 +410,7 @@ def project_batch_ring_pallas(
     return project_batch_ring_pallas_planes(
         points[..., 0], points[..., 1], points[..., 2], points[..., 3],
         valid, H, W, fov_up_deg, fov_down_deg,
-        interpret=interpret, lanes=lanes)
+        interpret=interpret, lanes=lanes, packed_route=packed_route)
 
 
 def project_batch_ring_pallas_planes(
@@ -402,6 +425,7 @@ def project_batch_ring_pallas_planes(
     fov_down_deg: float,
     interpret: bool = False,
     lanes: int = LANES,
+    packed_route: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Planes entry: x/y/z/rem [B, N] float32 channel planes.
 
@@ -467,8 +491,19 @@ def project_batch_ring_pallas_planes(
     R = n_tot // LANES_
     OUT_R = n_pix // LANES_
 
+    # packed route: (pix << rq_bits | rq) must fit int32, pix up to the
+    # n_pix out-of-range marker. Falls back to the 4-array route for
+    # exotic shapes (huge n_pix with wide rq).
+    if packed_route == "auto":
+        packed = ((n_pix << rq_bits) | rq_max) < 2**31
+    else:
+        packed = packed_route == "on"
+        if packed and ((n_pix << rq_bits) | rq_max) >= 2**31:
+            raise ValueError("packed route infeasible for this shape")
+
     shape3 = (b, R, LANES_)
-    kern = functools.partial(_ring_kernel, R, OUT_R, LANES_, LOG_LANES)
+    kern = functools.partial(_ring_kernel, R, OUT_R, LANES_, LOG_LANES,
+                             packed, idx_bits, rq_bits)
     okey, op1, op2 = pl.pallas_call(
         kern,
         grid=(b,),
@@ -500,10 +535,11 @@ def project_batch_ring_pallas_planes(
       p1.reshape(shape3), p2.reshape(shape3))
 
     okey = okey.reshape(b, n_pix)
-    rq_ok = (okey >> idx_bits) < rq_max
+    rq_out = (okey & rq_max) if packed else (okey >> idx_bits)
+    rq_ok = rq_out < rq_max
     maskf = jnp.logical_and(okey != SENTINEL, rq_ok).astype(jnp.float32)
     x, y = _unpack_f16x2(op1.reshape(b, n_pix))
     z, rem = _unpack_f16x2(op2.reshape(b, n_pix))
-    depth = (okey >> idx_bits).astype(jnp.float32) / jnp.float32(rq_scale)
+    depth = rq_out.astype(jnp.float32) / jnp.float32(rq_scale)
     img = jnp.stack([x, y, z, rem, depth], -1) * maskf[..., None]
     return img.reshape(b, H, W, 5), maskf.reshape(b, H, W)

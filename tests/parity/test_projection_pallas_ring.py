@@ -112,6 +112,29 @@ def test_make_projector_out_dtype():
         np.asarray(i32.astype(jnp.bfloat16)), np.asarray(i16))
 
 
+@pytest.mark.parametrize("packed_route", ["on", "off"])
+def test_packed_route_bit_identical(packed_route):
+    """The packed (pix<<rq_bits|rq) routing word changes scheduling only:
+    winners, payloads and masks stay bit-identical to the XLA ring path
+    for both the 3-array packed and 4-array fallback routes."""
+    pts, valid = _ring_cloud(13, b=2, invalid_frac=0.25)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True,
+                                           packed_route=packed_route)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_packed_route_infeasible_raises():
+    pts, valid = _ring_cloud(14)
+    with pytest.raises(ValueError, match="infeasible"):
+        # 1024x1024 pixels: pix marker needs 21 bits, rq 14 -> > int32.
+        ppr.project_batch_ring_pallas(pts, valid, 1024, 1024, FU, FD,
+                                      interpret=True, packed_route="on")
+
+
 @pytest.mark.parametrize("lanes", [512, 1024, 4096])
 def test_lane_width_sweep_bit_identical(lanes):
     """The lane-width knob changes scheduling only — winners, payloads and
