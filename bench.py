@@ -96,8 +96,31 @@ def _sync_scalar(x) -> float:
     return float(jax.device_get(x))
 
 
+def _wait_for_backend(attempts: int = 3, probe_timeout: float = 110.0) -> None:
+    """Probe backend liveness in a subprocess before touching it here.
+
+    A dead/wedged axon relay makes the first jax.devices() call block
+    indefinitely with no output (and it holds the GIL, so no in-process
+    watchdog can fire). The subprocess probe turns that failure mode into
+    loud, bounded retries; if the backend never comes up we proceed anyway
+    so the stderr trail shows exactly where the real init hangs.
+    """
+    from __graft_entry__ import probe_device_count
+
+    for i in range(attempts):
+        _log(f"probing TPU backend liveness (subprocess, attempt "
+             f"{i + 1}/{attempts}, timeout {probe_timeout:.0f}s) ...")
+        n = probe_device_count(timeout_s=probe_timeout)
+        if n:
+            _log(f"backend alive: {n} device(s)")
+            return
+        _log("backend probe FAILED (relay down or wedged)")
+    _log("backend never answered; attempting real init anyway")
+
+
 def main():
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
+    _wait_for_backend()
     n_chips = len(jax.devices())
     mesh = make_mesh(data=-1)
     _log(f"devices: {n_chips} x {jax.devices()[0].device_kind}")

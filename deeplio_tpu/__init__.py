@@ -54,12 +54,18 @@ def host_cache_tag() -> str:
                 # slow avx512 scatter) that identical flag sets don't
                 # capture — observed as cpu_aot_loader mismatches between
                 # hosts whose /proc flags agree.
-                if not model and line.startswith(("model name", "Processor")):
-                    model = line.strip()
+                if line.startswith(("model name", "Processor", "cpu family",
+                                    "model\t", "model:", "stepping")):
+                    # cpuid family/model/stepping too: LLVM's tuning
+                    # pseudo-features key off the cpuid MODEL NUMBER, which
+                    # hypervisors can mask differently between hosts whose
+                    # marketing string and flag list agree (observed again
+                    # round 3 as +prefer-no-gather mismatches).
+                    model += line.strip() + ";"
                 if not feats and line.startswith(("flags", "Features")):
                     feats = line.strip()
-                if feats and model:
-                    break
+                if line == "\n" and model and feats:
+                    break          # first core's block is enough
     except OSError:
         pass
     raw = f"{platform.machine()}|{model}|{feats}"
