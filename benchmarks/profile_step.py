@@ -80,6 +80,15 @@ def main():
     print("top ops (ms/step):")
     for name, us in sorted(ops.items(), key=lambda kv: -kv[1])[:28]:
         print(f"  {us / ITERS / 1e3:7.3f}  {name[:90]}")
+    # The pallas/custom-call bucket held ~9 ms of sub-cutoff ops at r3
+    # HEAD (19.9 total vs 10.7 for the ring kernel op) — enumerate that
+    # bucket exhaustively so its composition is never hidden again.
+    cc = {n: us for n, us in ops.items()
+          if "custom-call" in n.lower() or "tpu_custom_call" in n.lower()}
+    print(f"custom-call bucket: {len(cc)} ops, "
+          f"{sum(cc.values()) / ITERS / 1e3:.2f} ms/step")
+    for name, us in sorted(cc.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {us / ITERS / 1e3:7.3f}  {name[:160]}")
 
 
 if __name__ == "__main__":
