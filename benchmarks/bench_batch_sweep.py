@@ -1,0 +1,81 @@
+"""Sweep the per-step window batch through the FULL bench.py protocol.
+
+Motivation (round 3): the xplane step budget shows the attributed op time
+and module wall agree, but ~9 ms/step of the custom-call bucket sits in
+sub-cutoff events — if any of it is per-program fixed overhead (op
+dispatch gaps, kernel grid ramp), a larger per-step batch amortizes it
+directly with zero model change. B=16 windows (128 pairs) is the bench
+protocol point; this sweeps B and reports pairs/s/chip at each.
+
+    python benchmarks/bench_batch_sweep.py 16 24 32
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+import yaml
+
+from __graft_entry__ import _FLAGSHIP, _raw_batch
+from deeplio_tpu.config import load_config_dict
+from deeplio_tpu.losses import init_loss_params
+from deeplio_tpu.models import init_model_fast
+from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
+from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+
+
+def run_batch(batch: int, iters: int) -> float:
+    cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
+    mesh = make_mesh(data=-1)
+    n_chips = len(jax.devices())
+    tx = make_optimizer(cfg.optim, 1000)
+    old_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
+                                           axis_name="data", probe_width=64)
+        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
+                                   jax.random.PRNGKey(1))
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+    state = replicate(mesh, state)
+    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    import jax.numpy as jnp
+    raw = _raw_batch(cfg, batch * n_chips, seed=0)
+    roll = jax.jit(
+        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
+        static_argnums=1)
+    batches = [shard_batch(mesh, raw)]
+    batches += [roll(batches[0], s) for s in (1, 2)]
+
+    for i in range(3):
+        state, m = train_step(state, batches[i % len(batches)])
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+
+    t0 = time.time()
+    for i in range(iters):
+        state, m = train_step(state, batches[i % len(batches)])
+    loss = float(jax.device_get(m["loss"]))
+    dt = (time.time() - t0) / iters
+    assert np.isfinite(loss)
+    pairs = batch * n_chips * cfg.datasets.num_pairs
+    rate = pairs / dt / n_chips
+    print(f"B={batch:3d} windows ({pairs // n_chips:4d} pairs/chip): "
+          f"{dt * 1e3:7.1f} ms/step  {rate:7.1f} pairs/s/chip", flush=True)
+    return rate
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [16, 24, 32]
+    for b in batches:
+        run_batch(b, iters=12)
+
+
+if __name__ == "__main__":
+    main()
