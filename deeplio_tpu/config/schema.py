@@ -489,6 +489,10 @@ class TrainConfig:
     # images and the compiled step skips projection (data/proj_cache.py).
     # Incompatible with augment-yaw (which rotates raw points).
     cache_projections: bool = False
+    # optimizer steps per compiled program (unrolled in train/step.py):
+    # amortizes per-program host dispatch on high-latency device relays.
+    # Bit-identical math; epoch tails shorter than k are dropped.
+    steps_per_call: int = 1
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainConfig":
@@ -503,6 +507,7 @@ class TrainConfig:
             keep_checkpoints=int(_get(d, "keep-checkpoints", 3)),
             data_parallel=int(_get(d, "data-parallel", -1)),
             prefetch=int(_get(d, "prefetch", 2)),
+            steps_per_call=int(_get(d, "steps-per-call", 1)),
             cache_projections=bool(_get(d, "cache-projections", False)),
         )
 

@@ -151,8 +151,9 @@ class Trainer:
             jax.random.PRNGKey(cfg.train.seed + 1))
         self.state = replicate(self.mesh, state)
 
+        self.spc = max(int(cfg.train.steps_per_call), 1)
         self.train_step, self.eval_step = build_train_step(
-            cfg, self.model, self.tx, self.mesh)
+            cfg, self.model, self.tx, self.mesh, steps_per_call=self.spc)
 
         self.ckpt = CheckpointManager(
             os.path.join(workdir, cfg.train.checkpoint_dir),
@@ -214,8 +215,9 @@ class Trainer:
                                            process_count=self.proc_count),
                 self.mesh, depth=cfg.train.prefetch, global_batch_size=bs)
             t_last = time.time()
-            for batch in it:
-                self.state, m = self.train_step(self.state, batch)
+
+            def _after(m, epoch=epoch):
+                nonlocal t_last
                 self._host_step += 1
                 step = self._host_step
                 if step % cfg.train.log_every == 0:
@@ -234,6 +236,24 @@ class Trainer:
                 # Orbax coordinates multi-process saves itself (primary
                 # writes, everyone barriers) — ALL processes must call save.
                 self.ckpt.maybe_save(self.state, step=self._host_step)
+
+            if self.spc == 1:
+                for batch in it:
+                    self.state, m = self.train_step(self.state, batch)
+                    _after(m)
+            else:
+                # k batches per compiled call; the epoch tail shorter than
+                # k is dropped (documented in TrainConfig.steps_per_call —
+                # compiling a second remainder program would double the
+                # multi-minute flagship compile for <k samples/epoch).
+                group = []
+                for batch in it:
+                    group.append(batch)
+                    if len(group) == self.spc:
+                        self.state, ms = self.train_step(self.state, *group)
+                        group.clear()
+                        for m in ms:
+                            _after(m)
             if self.val_ds is not None and len(self.val_ds) and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 val = self.validate()

@@ -100,11 +100,16 @@ def build_train_step(
     model,
     tx: optax.GradientTransformation,
     mesh: Mesh,
+    steps_per_call: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Returns (train_step, eval_step), both jitted shard_map programs.
 
     train_step(state, raw_batch) -> (state, metrics)   [state donated]
     eval_step(state, raw_batch)  -> (x_pred, q_pred, metrics)
+
+    With ``steps_per_call = k > 1`` the returned train_step instead takes
+    k raw batches and runs k optimizer steps in ONE compiled program:
+    train_step(state, raw_0, ..., raw_{k-1}) -> (state, (m_0, ..., m_{k-1}))
     """
     from deeplio_tpu.models.zoo import _dtype_of
 
@@ -181,6 +186,32 @@ def build_train_step(
         ),
         donate_argnums=0,
     )
+    spc = int(steps_per_call or 1)
+    if spc > 1:
+        # k optimizer steps per compiled program (UNROLLED — a lax.scan
+        # would need the microbatches stacked, and stacking k sharded
+        # batches is a full device copy that eats the win; unrolling keeps
+        # each batch's existing P(data) sharding untouched). Amortizes the
+        # per-program host dispatch (~1-2 ms/call through the axon relay).
+        # Same ops and rng chain as k sequential train_step calls; params
+        # agree to last-ulp f32 (different XLA program, shifted fusion
+        # rounding — tests/distributed/test_shard_map.py).
+        def _multi(state: TrainState, *raws):
+            ms = []
+            for raw in raws:
+                state, m = _train_step(state, raw)
+                ms.append(m)
+            return state, tuple(ms)
+
+        train_step = jax.jit(
+            jax.shard_map(
+                _multi, mesh=mesh,
+                in_specs=(P(),) + (P(DATA_AXIS),) * spc,
+                out_specs=(P(), tuple(P() for _ in range(spc))),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
     eval_step = jax.jit(
         jax.shard_map(
             _eval_step, mesh=mesh,

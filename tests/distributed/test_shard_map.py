@@ -103,3 +103,41 @@ def test_eval_step_gathers_predictions(devices8):
     x, q, m = eval_step(state, batch)
     assert x.shape == (16, cfg.datasets.num_pairs, 3)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_steps_per_call_matches_sequential(devices8):
+    """steps-per-call k: one k-step program == k sequential train_step
+    calls — same ops, same rng chain (train/step.py). Param agreement is
+    up to last-ulp f32 rounding: the unrolled program is a DIFFERENT XLA
+    program and fusion boundaries shift (measured max |d| ~1.5e-8)."""
+    B = 16
+    cfg, mesh, state_a, step1, _ = _setup(4, seed=5)
+    _, _, state_b, _, _ = _setup(4, seed=5)
+    step2, _ = build_train_step(cfg, *_rebuild_model_tx(cfg), mesh,
+                                steps_per_call=2)
+    b0 = shard_batch(mesh, _batch(cfg, B, seed=21))
+    b1 = shard_batch(mesh, _batch(cfg, B, seed=22))
+
+    sa, ma0 = step1(state_a, b0)
+    sa, ma1 = step1(sa, b1)
+    sb, (mb0, mb1) = step2(state_b, b0, b1)
+
+    for ma, mb in ((ma0, mb0), (ma1, mb1)):
+        for k in ma:
+            np.testing.assert_allclose(np.asarray(ma[k]), np.asarray(mb[k]),
+                                       rtol=1e-5, atol=1e-7, err_msg=k)
+    flat_a = jax.tree_util.tree_leaves(sa.params)
+    flat_b = jax.tree_util.tree_leaves(sb.params)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-4, atol=1e-6)
+    # The rng chain IS bit-identical (pure integer ops).
+    np.testing.assert_array_equal(np.asarray(sa.rng), np.asarray(sb.rng))
+    assert int(sa.step) == int(sb.step) == 2
+
+
+def _rebuild_model_tx(cfg):
+    from deeplio_tpu.models import init_model
+    tx = make_optimizer(cfg.optim, 100)
+    model, _ = init_model(cfg, jax.random.PRNGKey(5), axis_name="data")
+    return model, tx
