@@ -30,7 +30,7 @@ from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
 from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
 
 
-def run_batch(batch: int, iters: int) -> float:
+def run_batch(batch: int, iters: int, spc: int = 1) -> float:
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     mesh = make_mesh(data=-1)
     n_chips = len(jax.devices())
@@ -45,7 +45,8 @@ def run_batch(batch: int, iters: int) -> float:
                                    jax.random.PRNGKey(1))
     jax.config.update("jax_compilation_cache_dir", old_dir)
     state = replicate(mesh, state)
-    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    train_step, _ = build_train_step(cfg, model, tx, mesh,
+                                     steps_per_call=spc)
     import jax.numpy as jnp
     raw = _raw_batch(cfg, batch * n_chips, seed=0)
     roll = jax.jit(
@@ -54,27 +55,40 @@ def run_batch(batch: int, iters: int) -> float:
     batches = [shard_batch(mesh, raw)]
     batches += [roll(batches[0], s) for s in (1, 2)]
 
+    def call(state, i):
+        if spc == 1:
+            return train_step(state, batches[i % 3])
+        return train_step(state, *[batches[(i * spc + j) % 3]
+                                   for j in range(spc)])
+
     for i in range(3):
-        state, m = train_step(state, batches[i % len(batches)])
-    assert np.isfinite(float(jax.device_get(m["loss"])))
+        state, m = call(state, i)
+    last = m[-1] if spc > 1 else m
+    assert np.isfinite(float(jax.device_get(last["loss"])))
 
     t0 = time.time()
     for i in range(iters):
-        state, m = train_step(state, batches[i % len(batches)])
-    loss = float(jax.device_get(m["loss"]))
-    dt = (time.time() - t0) / iters
+        state, m = call(state, i)
+    last = m[-1] if spc > 1 else m
+    loss = float(jax.device_get(last["loss"]))
+    dt = (time.time() - t0) / iters / spc
     assert np.isfinite(loss)
     pairs = batch * n_chips * cfg.datasets.num_pairs
     rate = pairs / dt / n_chips
-    print(f"B={batch:3d} windows ({pairs // n_chips:4d} pairs/chip): "
+    print(f"B={batch:3d} spc={spc} ({pairs // n_chips:4d} pairs/chip/step): "
           f"{dt * 1e3:7.1f} ms/step  {rate:7.1f} pairs/s/chip", flush=True)
     return rate
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [16, 24, 32]
-    for b in batches:
-        run_batch(b, iters=12)
+    # args: B or B:spc tokens, e.g. "16 24 32 16:4"
+    specs = []
+    for a in sys.argv[1:]:
+        b, _, s = a.partition(":")
+        specs.append((int(b), int(s or 1)))
+    specs = specs or [(16, 1), (24, 1), (32, 1)]
+    for b, s in specs:
+        run_batch(b, iters=12, spc=s)
 
 
 if __name__ == "__main__":
