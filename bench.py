@@ -68,7 +68,17 @@ signal.signal(signal.SIGINT, _on_signal)
 
 _log("importing jax + deeplio_tpu ...")
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
+
+if os.environ.get("DEEPLIO_BENCH_CPU"):
+    # Test-suite mode: run the whole contract file on the CPU backend
+    # (the shell-level JAX_PLATFORMS is overridden by the host
+    # sitecustomize; only the in-process update wins). The projector
+    # transparently uses the XLA ring twin on CPU.
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import yaml  # noqa: E402
 
@@ -82,10 +92,14 @@ from deeplio_tpu.train import (build_train_step, create_train_state,  # noqa: E4
 
 _log("imports done")
 
-BATCH = 16
-WARMUP = 3
+# Protocol constants. The env overrides exist ONLY so the test suite can
+# run this exact file to completion on the CPU backend (contract smoke —
+# the round-2 bench went red from an untested entry point, VERDICT.md);
+# driver runs use the defaults.
+BATCH = int(os.environ.get("DEEPLIO_BENCH_BATCH", 16))
+WARMUP = int(os.environ.get("DEEPLIO_BENCH_WARMUP", 3))
 PROVISIONAL_ITERS = 4
-ITERS = 20
+ITERS = int(os.environ.get("DEEPLIO_BENCH_ITERS", 20))
 N_BATCHES = 3  # distinct staged input buffers (>=3: measurement rule 3)
 TARGET = 5000.0
 
@@ -107,6 +121,8 @@ def _wait_for_backend(attempts: int = 3, probe_timeout: float = 110.0) -> None:
     """
     from __graft_entry__ import probe_device_count
 
+    if os.environ.get("DEEPLIO_BENCH_CPU"):
+        return
     for i in range(attempts):
         _log(f"probing TPU backend liveness (subprocess, attempt "
              f"{i + 1}/{attempts}, timeout {probe_timeout:.0f}s) ...")

@@ -1,0 +1,49 @@
+"""Driver-contract smoke: bench.py and dryrun_multichip must run to
+completion and emit their artifacts WITHOUT a TPU.
+
+The round-2 bench went red (rc=124, no JSON) because the entry point was
+never exercised under driver-like conditions after an HLO-touching
+change (VERDICT.md). This runs the EXACT contract files as subprocesses:
+bench.py in its CPU test mode (reduced iters via env), asserting rc==0
+and a parseable final JSON line on stdout.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = str(pathlib.Path(__file__).resolve().parents[2])
+
+
+def test_bench_py_contract_cpu():
+    env = dict(os.environ)
+    env.update({
+        "DEEPLIO_BENCH_CPU": "1",
+        "DEEPLIO_BENCH_BATCH": "2",
+        "DEEPLIO_BENCH_WARMUP": "1",
+        "DEEPLIO_BENCH_ITERS": "6",
+        "DEEPLIO_JAX_CACHE": "",
+        "XLA_FLAGS": env_xla(os.environ.get("XLA_FLAGS", "")),
+    })
+    proc = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+    assert lines, f"no JSON on stdout:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    last = json.loads(lines[-1])
+    assert last["metric"] == "frame_pairs_per_sec_per_chip"
+    assert last["value"] > 0
+    assert last["unit"] == "pairs/s/chip"
+    assert "vs_baseline" in last
+    # The provisional line must have come first (timeout survivability).
+    assert any(json.loads(l).get("provisional") for l in lines[:-1])
+
+
+def env_xla(cur: str) -> str:
+    return (cur + " --xla_force_host_platform_device_count=1").strip()
