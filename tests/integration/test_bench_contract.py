@@ -47,3 +47,18 @@ def test_bench_py_contract_cpu():
 
 def env_xla(cur: str) -> str:
     return (cur + " --xla_force_host_platform_device_count=1").strip()
+
+
+def test_dryrun_multichip_contract():
+    """The driver's exact invocation; must succeed with no TPU (the
+    subprocess liveness probe + virtual-CPU-mesh respawn path) and keep
+    its output free of cpu_aot_loader machine-feature mismatches (the
+    SIGILL hazard from cross-host CPU AOT cache hits)."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+        timeout=1500)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "train+eval step OK" in proc.stdout
+    assert "cpu_aot_loader" not in proc.stderr
