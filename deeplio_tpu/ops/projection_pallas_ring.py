@@ -231,8 +231,10 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     rank = rank - endi                                # exclusive = local dest
 
     if PACKED:
-        data = [(pix << RQ_BITS) | jax.lax.shift_right_logical(m, IDX_BITS),
-                p1, p2]
+        # m is a winner key (rq << IDX_BITS | idx) < 2^31, so the
+        # arithmetic >> equals a logical shift; pix << RQ_BITS fits int32
+        # by the wrapper's feasibility check.
+        data = [(pix << RQ_BITS) | (m >> IDX_BITS), p1, p2]
     else:
         data = [pix, m, p1, p2]
     live = endi
@@ -320,12 +322,12 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     okey = okey_ref[:]
     o1 = op1_ref[:]
     o2 = op2_ref[:]
-    owin_pix = (jax.lax.shift_right_logical(okey, RQ_BITS) if PACKED
-                else wwin_ref[:])
+    # Packed words are nonnegative (< 2^31), so arithmetic >> is exact.
+    owin_pix = (okey >> RQ_BITS) if PACKED else wwin_ref[:]
     orow = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 0)
     olane = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 1)
     dest = owin_pix - orow * LANES
-    sentinel_pix = jax.lax.shift_right_logical(big, RQ_BITS) if PACKED else big
+    sentinel_pix = jnp.int32(int(SENTINEL) >> RQ_BITS) if PACKED else big
     live = jnp.where((dest >= olane) & (dest < LANES)
                      & (owin_pix != sentinel_pix), 1, 0)
     delta = jnp.where(live == 1, dest - olane, 0)
