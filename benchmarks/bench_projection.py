@@ -82,6 +82,11 @@ def main():
                 lambda p, v, l=lanes: reduce(
                     *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
                                                     lanes=l)))
+        # packed routing word on/off at the default lane width (the
+        # packed route is the r3 default wherever the bit budget fits).
+        backends["pallas-ring-unpacked"] = lambda p, v: reduce(
+            *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
+                                            packed_route="off"))
     for name, fn in backends.items():
         jfn = jax.jit(fn)
         dt = measure(jfn, inputs)
