@@ -59,12 +59,24 @@ SENTINEL = np.int32(2**31 - 1)
 
 
 def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
-                 PACKED: bool, IDX_BITS: int, RQ_BITS: int,
+                 PACKED: bool, IDX_BITS: int, RQ_BITS: int, SPB: int,
                  pix_ref, key_ref, p1_ref, p2_ref,
                  okey_ref, op1_ref, op2_ref,
                  cpix_ref, ckey_ref, cp1_ref, cp2_ref,
                  spix_ref, skey_ref, s1_ref, s2_ref, meta_ref, wwin_ref):
-    """One scan: [R, LANES] ring-ordered points -> [OUT_R, LANES] pixels.
+    """SPB scans per grid step: [SPB, R, LANES] ring-ordered points ->
+    [SPB, OUT_R, LANES] pixels.
+
+    The SPB scans are processed on FLATTENED [SPB*R, LANES] views — lane
+    ops are per-row independent so they need no changes at all; the few
+    row-axis ops (carry scans, prev/next-row wraps) become per-scan exact
+    via a row-within-scan iota ``rowm``: carry-scan windows mask on
+    (row % R) >= d, and the wrap reads at scan boundaries land only on
+    lanes whose value is then FORCED by the (rowm == 0 / R-1) start/end
+    clauses, so cross-scan garbage never reaches a result. SPB=1 reduces
+    to the single-scan kernel op-for-op. Fewer grid steps amortize any
+    per-grid-step overhead (docs/performance.md: the ~64 us/scan
+    custom-call residual hypothesis).
 
     PACKED route: after the seg-min the winner's (pix, rq) pair fits one
     int32 (``pix << RQ_BITS | rq``; feasibility checked by the wrapper —
@@ -73,13 +85,20 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     loops touch 3 compact buffers instead of 4. Output okey then holds
     the packed word; the wrapper decodes rq from the low bits.
     Bit-identical winners/masks/payloads either way (parity suite runs
-    both routes)."""
+    both routes and SPB widths)."""
+    SR = SPB * R
+    SOUT = SPB * OUT_R
+    CROWS = SPB * (OUT_R + 2)          # compact-buffer rows (per-scan +2)
     big = jnp.int32(SENTINEL)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
+    # row WITHIN its scan (0..R-1 repeated SPB times) — free iota reshape.
+    rowm = jax.lax.broadcasted_iota(
+        jnp.int32, (SPB, R, LANES), 1).reshape(SR, LANES)
+    rowim = jax.lax.broadcasted_iota(
+        jnp.int32, (SPB, R, 1), 1).reshape(SR, 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    pix = pix_ref[:]                  # raw: -1 where invalid
+    pix = pix_ref[:]                  # [SR, LANES]; raw: -1 where invalid
     m = key_ref[:]
     p1 = p1_ref[:]
     p2 = p2_ref[:]
@@ -115,23 +134,24 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         spix_ref[:] = p
 
     pix = spix_ref[:]
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     rounds_r = max(int(np.ceil(np.log2(R))), 1) if R > 1 else 0
     rmax = pix[:, LANES - 1:]
     for k in range(rounds_r):
         d = 1 << k
-        rmax = jnp.maximum(rmax, jnp.where(rowi >= d,
+        rmax = jnp.maximum(rmax, jnp.where(rowim >= d,
                                            pltpu.roll(rmax, d, 0), -1))
-    carry = jnp.where(rowi >= 1, pltpu.roll(rmax, 1, 0), -1)
+    carry = jnp.where(rowim >= 1, pltpu.roll(rmax, 1, 0), -1)
     pix = jnp.maximum(jnp.maximum(pix, carry), 0)
 
     # -- run boundaries over the FLAT order ---------------------------------
     # NOTE: every rolled flag is int32 — Mosaic has no rotate for i1
     # vectors ("Rotate with non-32-bit data").
+    # Scan-boundary rows read the PREVIOUS scan's last row here — that
+    # value only reaches lane 0 of rowm==0 rows, where `start` is forced.
     pix_l1 = pltpu.roll(pix, 1, 1)                     # lane j <- j-1 (wraps)
     prev_row_last = pltpu.roll(pix_l1, 1, 0)           # row r <- r-1
     prev = jnp.where(lane == 0, prev_row_last, pix_l1)
-    start = jnp.where((pix != prev) | ((lane == 0) & (row == 0)), 1, 0)
+    start = jnp.where((pix != prev) | ((lane == 0) & (rowm == 0)), 1, 0)
 
     # -- two-level segmented min-scan (value m, payloads p1 p2) -------------
     # Only the REAL-boundary window-OR g is tracked: the classic
@@ -191,14 +211,14 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     p1 = s1_ref[:]
     p2 = s2_ref[:]
 
-    # row aggregates at the last lane -> [R, 1] carry scan over rows.
+    # row aggregates at the last lane -> [SR, 1] per-scan carry scan.
     F = g[:, LANES - 1:]                      # row has a real boundary
     M = m[:, LANES - 1:]
     A1 = p1[:, LANES - 1:]
     A2 = p2[:, LANES - 1:]
     for k in range(rounds_r):
         d = 1 << k
-        in_range = rowi >= d
+        in_range = rowim >= d
         M_prev = jnp.where(in_range, pltpu.roll(M, d, 0), big)
         F_prev = jnp.where(in_range, pltpu.roll(F, d, 0), 0)
         take = (F == 0) & (M_prev < M)
@@ -207,27 +227,29 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         A2 = jnp.where(take, pltpu.roll(A2, d, 0), A2)
         F = F | F_prev
     # carry-in for row r = aggregate of rows < r (exclusive shift down).
-    CM = jnp.where(rowi >= 1, pltpu.roll(M, 1, 0), big)
-    C1 = jnp.where(rowi >= 1, pltpu.roll(A1, 1, 0), 0)
-    C2 = jnp.where(rowi >= 1, pltpu.roll(A2, 1, 0), 0)
+    CM = jnp.where(rowim >= 1, pltpu.roll(M, 1, 0), big)
+    C1 = jnp.where(rowim >= 1, pltpu.roll(A1, 1, 0), 0)
+    C2 = jnp.where(rowim >= 1, pltpu.roll(A2, 1, 0), 0)
     take = (g == 0) & (CM < m)
     m = jnp.where(take, CM, m)
     p1 = jnp.where(take, C1, p1)
     p2 = jnp.where(take, C2, p2)
 
     # -- run ends hold the winners ------------------------------------------
+    # (flat roll by SR-1 = row r <- r+1; the cross-SCAN read at rowm==R-1
+    # only reaches lane LANES-1, where endi is forced.)
     pix_r1 = pltpu.roll(pix, LANES - 1, 1)             # lane j <- j+1
-    next_row_first = pltpu.roll(pix_r1, R - 1, 0)      # row r <- r+1
+    next_row_first = pltpu.roll(pix_r1, SR - 1, 0)     # row r <- r+1
     nxt = jnp.where(lane == LANES - 1, next_row_first, pix_r1)
     endi = jnp.where(
-        (pix != nxt) | ((lane == LANES - 1) & (row == R - 1)), 1, 0)
+        (pix != nxt) | ((lane == LANES - 1) & (rowm == R - 1)), 1, 0)
 
     # -- intra-row rank compaction (LSB jump routing) -----------------------
     rank = endi
     for k in range(LOG_LANES):                        # inclusive prefix sum
         d = 1 << k
         rank = rank + jnp.where(lane >= d, pltpu.roll(rank, d, 1), 0)
-    cnt_col = rank[:, LANES - 1:]                     # [R, 1] winners per row
+    cnt_col = rank[:, LANES - 1:]                     # [SR, 1] winners per row
     rank = rank - endi                                # exclusive = local dest
 
     if PACKED:
@@ -248,11 +270,12 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
         delta = jnp.where(mv, pltpu.roll(delta, LANES - d, 1) - d, delta)
         live = (live & (1 - move)) | move_in
 
-    # row offsets: exclusive cumsum of per-row counts -> [R, 1].
+    # row offsets: exclusive PER-SCAN cumsum of per-row counts -> [SR, 1].
     off_col = cnt_col
     for k in range(rounds_r):
         d = 1 << k
-        off_col = off_col + jnp.where(rowi >= d, pltpu.roll(off_col, d, 0), 0)
+        off_col = off_col + jnp.where(rowim >= d,
+                                      pltpu.roll(off_col, d, 0), 0)
     off_col = off_col - cnt_col
 
     # stage winner arrays + per-row (offset, count) in scratch so the
@@ -263,19 +286,20 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
                     else [cpix_ref, ckey_ref, cp1_ref, cp2_ref])
     for ref, a in zip(stage_refs, data):
         ref[:] = a
-    meta_ref[pl.ds(0, R), :] = off_col
-    meta_ref[pl.ds(R, R), :] = cnt_col
+    meta_ref[pl.ds(0, SR), :] = off_col
+    meta_ref[pl.ds(SR, SR), :] = cnt_col
 
     # -- 3. concatenate rows' winners into the compact buffers --------------
-    # (sentinel-fill pix/key first: expansion windows read past the tail)
-    cpix_ref[:] = jnp.full((OUT_R + 2, LANES), big)
+    # (sentinel-fill pix/key first: expansion windows read past the tail;
+    # each scan owns rows [scan*(OUT_R+2), (scan+1)*(OUT_R+2)) )
+    cpix_ref[:] = jnp.full((CROWS, LANES), big)
     if not PACKED:
-        ckey_ref[:] = jnp.full((OUT_R + 2, LANES), big)
+        ckey_ref[:] = jnp.full((CROWS, LANES), big)
 
     def store_row(r, _):
         o = meta_ref[pl.ds(r, 1), :][0, 0]
-        c = meta_ref[pl.ds(R + r, 1), :][0, 0]
-        q = o // LANES
+        c = meta_ref[pl.ds(SR + r, 1), :][0, 0]
+        q = (r // R) * (OUT_R + 2) + o // LANES
         s = o % LANES
         mask = pltpu.roll(jnp.where(lane1 < c, 1, 0), s, 1)
         hi = (mask == 1) & (lane1 >= s)
@@ -287,17 +311,19 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
                                                 dst[pl.ds(q + 1, 1), :])
         return 0
 
-    jax.lax.fori_loop(0, R, store_row, 0)
+    jax.lax.fori_loop(0, SR, store_row, 0)
 
     # -- 4. per-block rank bounds (cheap at wide LANES: OUT_R reduces over
-    # the compact buffer) + windowed expansion.
-    cpix_all = cpix_ref[:]
+    # the scan's compact region) + windowed expansion.
     pix_thresh_shift = RQ_BITS if PACKED else 0
 
     def gather_block(o, _):
-        lo = jnp.sum(jnp.where(cpix_all < (o * LANES) << pix_thresh_shift,
-                               1, 0))
-        q = lo // LANES
+        scan = o // OUT_R
+        base = scan * (OUT_R + 2)
+        seg = cpix_ref[pl.ds(base, OUT_R + 2), :]
+        lo = jnp.sum(jnp.where(
+            seg < ((o - scan * OUT_R) * LANES) << pix_thresh_shift, 1, 0))
+        q = base + lo // LANES
         s = lo % LANES
         sh = (LANES - s) % LANES
         sel = lane1 < LANES - s
@@ -314,7 +340,7 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
             dst[pl.ds(o, 1), :] = w
         return 0
 
-    jax.lax.fori_loop(0, OUT_R, gather_block, 0)
+    jax.lax.fori_loop(0, SOUT, gather_block, 0)
 
     # batched local expansion: window lane j of block o holds the
     # (rank_lo[o]+j)-th winner; this block's winners sit at j < cnt_o with
@@ -324,8 +350,10 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     o2 = op2_ref[:]
     # Packed words are nonnegative (< 2^31), so arithmetic >> is exact.
     owin_pix = (okey >> RQ_BITS) if PACKED else wwin_ref[:]
-    orow = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 0)
-    olane = jax.lax.broadcasted_iota(jnp.int32, (OUT_R, LANES), 1)
+    # block index WITHIN its scan (0..OUT_R-1 repeated SPB times).
+    orow = jax.lax.broadcasted_iota(
+        jnp.int32, (SPB, OUT_R, LANES), 1).reshape(SOUT, LANES)
+    olane = jax.lax.broadcasted_iota(jnp.int32, (SOUT, LANES), 1)
     dest = owin_pix - orow * LANES
     sentinel_pix = jnp.int32(int(SENTINEL) >> RQ_BITS) if PACKED else big
     live = jnp.where((dest >= olane) & (dest < LANES)
@@ -339,18 +367,18 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     # this point and host the gated branch's values.
     K0E = min(5, LOG_LANES)
     hi_viol = jnp.max(jnp.where((live == 1) & (delta >= (1 << K0E)), 1, 0))
-    cpix_ref[pl.ds(0, OUT_R), :] = okey
-    ckey_ref[pl.ds(0, OUT_R), :] = o1
-    cp1_ref[pl.ds(0, OUT_R), :] = o2
-    cp2_ref[pl.ds(0, OUT_R), :] = delta
+    cpix_ref[pl.ds(0, SOUT), :] = okey
+    ckey_ref[pl.ds(0, SOUT), :] = o1
+    cp1_ref[pl.ds(0, SOUT), :] = o2
+    cp2_ref[pl.ds(0, SOUT), :] = delta
     wwin_ref[:] = live
 
     @pl.when(hi_viol > 0)
     def _expand_hi():
-        okey_ = cpix_ref[pl.ds(0, OUT_R), :]
-        o1_ = ckey_ref[pl.ds(0, OUT_R), :]
-        o2_ = cp1_ref[pl.ds(0, OUT_R), :]
-        delta_ = cp2_ref[pl.ds(0, OUT_R), :]
+        okey_ = cpix_ref[pl.ds(0, SOUT), :]
+        o1_ = ckey_ref[pl.ds(0, SOUT), :]
+        o2_ = cp1_ref[pl.ds(0, SOUT), :]
+        delta_ = cp2_ref[pl.ds(0, SOUT), :]
         live_ = wwin_ref[:]
         for k in reversed(range(K0E, LOG_LANES)):
             d = 1 << k
@@ -362,16 +390,16 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
             o2_ = jnp.where(mv, pltpu.roll(o2_, d, 1), o2_)
             delta_ = jnp.where(mv, pltpu.roll(delta_, d, 1) - d, delta_)
             live_ = (live_ & (1 - move)) | move_in
-        cpix_ref[pl.ds(0, OUT_R), :] = okey_
-        ckey_ref[pl.ds(0, OUT_R), :] = o1_
-        cp1_ref[pl.ds(0, OUT_R), :] = o2_
-        cp2_ref[pl.ds(0, OUT_R), :] = delta_
+        cpix_ref[pl.ds(0, SOUT), :] = okey_
+        ckey_ref[pl.ds(0, SOUT), :] = o1_
+        cp1_ref[pl.ds(0, SOUT), :] = o2_
+        cp2_ref[pl.ds(0, SOUT), :] = delta_
         wwin_ref[:] = live_
 
-    okey = cpix_ref[pl.ds(0, OUT_R), :]
-    o1 = ckey_ref[pl.ds(0, OUT_R), :]
-    o2 = cp1_ref[pl.ds(0, OUT_R), :]
-    delta = cp2_ref[pl.ds(0, OUT_R), :]
+    okey = cpix_ref[pl.ds(0, SOUT), :]
+    o1 = ckey_ref[pl.ds(0, SOUT), :]
+    o2 = cp1_ref[pl.ds(0, SOUT), :]
+    delta = cp2_ref[pl.ds(0, SOUT), :]
     live = wwin_ref[:]
     for k in reversed(range(K0E)):
         d = 1 << k
@@ -403,6 +431,7 @@ def project_batch_ring_pallas(
     interpret: bool = False,
     lanes: int = LANES,
     packed_route: str = "auto",
+    spb: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Same contract as ``project_batch_ring(payload="carry-f16")``.
 
@@ -412,7 +441,7 @@ def project_batch_ring_pallas(
     return project_batch_ring_pallas_planes(
         points[..., 0], points[..., 1], points[..., 2], points[..., 3],
         valid, H, W, fov_up_deg, fov_down_deg,
-        interpret=interpret, lanes=lanes, packed_route=packed_route)
+        interpret=interpret, lanes=lanes, packed_route=packed_route, spb=spb)
 
 
 def project_batch_ring_pallas_planes(
@@ -428,6 +457,7 @@ def project_batch_ring_pallas_planes(
     interpret: bool = False,
     lanes: int = LANES,
     packed_route: str = "auto",
+    spb: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Planes entry: x/y/z/rem [B, N] float32 channel planes.
 
@@ -503,28 +533,37 @@ def project_batch_ring_pallas_planes(
         if packed and ((n_pix << rq_bits) | rq_max) >= 2**31:
             raise ValueError("packed route infeasible for this shape")
 
-    shape3 = (b, R, LANES_)
+    # scans per grid step: fewer grid steps amortize per-step overhead;
+    # falls back to 1 when the batch doesn't divide (exactness is
+    # SPB-independent — parity suite sweeps it).
+    SPB = int(spb) if int(spb) > 1 and b % int(spb) == 0 else 1
+    SR = SPB * R
+    SOUT = SPB * OUT_R
+    CROWS = SPB * (OUT_R + 2)
+    nblk = b // SPB
+
+    shape3 = (nblk, SR, LANES_)
     kern = functools.partial(_ring_kernel, R, OUT_R, LANES_, LOG_LANES,
-                             packed, idx_bits, rq_bits)
+                             packed, idx_bits, rq_bits, SPB)
     okey, op1, op2 = pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((None, R, LANES_), lambda s: (s, 0, 0),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((None, SR, LANES_), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec((None, OUT_R, LANES_), lambda s: (s, 0, 0),
+        out_specs=[pl.BlockSpec((None, SOUT, LANES_), lambda s: (s, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((b, OUT_R, LANES_), jnp.int32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nblk, SOUT, LANES_), jnp.int32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cpix
-            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # ckey
-            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cp1
-            pltpu.VMEM((OUT_R + 2, LANES_), jnp.int32),   # cp2
-            pltpu.VMEM((R, LANES_), jnp.int32),           # staged wpix
-            pltpu.VMEM((R, LANES_), jnp.int32),           # staged wkey
-            pltpu.VMEM((R, LANES_), jnp.int32),           # staged w1
-            pltpu.VMEM((R, LANES_), jnp.int32),           # staged w2
-            pltpu.VMEM((2 * R, 1), jnp.int32),           # off ++ cnt
-            pltpu.VMEM((OUT_R, LANES_), jnp.int32),       # window pix
+            pltpu.VMEM((CROWS, LANES_), jnp.int32),       # cpix
+            pltpu.VMEM((CROWS, LANES_), jnp.int32),       # ckey
+            pltpu.VMEM((CROWS, LANES_), jnp.int32),       # cp1
+            pltpu.VMEM((CROWS, LANES_), jnp.int32),       # cp2
+            pltpu.VMEM((SR, LANES_), jnp.int32),          # staged wpix
+            pltpu.VMEM((SR, LANES_), jnp.int32),          # staged wkey
+            pltpu.VMEM((SR, LANES_), jnp.int32),          # staged w1
+            pltpu.VMEM((SR, LANES_), jnp.int32),          # staged w2
+            pltpu.VMEM((2 * SR, 1), jnp.int32),           # off ++ cnt
+            pltpu.VMEM((SOUT, LANES_), jnp.int32),        # window pix
         ],
         # The adaptive-rounds gates (scratch-staged pl.when branches)
         # raise peak scoped-VMEM past the 16M default (measured 17.9M at

@@ -127,6 +127,49 @@ def test_packed_route_bit_identical(packed_route):
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
 
 
+@pytest.mark.parametrize("spb", [2, 3])
+def test_scans_per_block_bit_identical(spb):
+    """SPB scans per grid step (flattened [SPB*R, LANES] views with
+    per-scan masked row carries) changes scheduling only — bit-identical
+    to the XLA twin for every batch the width divides."""
+    pts, valid = _ring_cloud(15, b=6, invalid_frac=0.2)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True, spb=spb)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_scans_per_block_indivisible_falls_back():
+    """b % spb != 0 silently uses SPB=1 (same results)."""
+    pts, valid = _ring_cloud(16, b=3)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True, spb=2)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
+def test_scans_per_block_tail_masks():
+    """Per-scan invalid tails of DIFFERENT lengths inside one grid block:
+    the re-keyed out-of-range runs and the forced start/end clauses must
+    keep scans fully independent."""
+    pts, _ = _ring_cloud(17, b=4)
+    valid = np.ones((4, N), bool)
+    valid[0, 5000:] = False
+    valid[1, 7900:] = False
+    valid[3, 1000:] = False
+    ik, mk = ppr.project_batch_ring_pallas(pts, jnp.asarray(valid),
+                                           H, W, FU, FD, interpret=True,
+                                           spb=2)
+    ix, mx = proj.project_batch_ring(pts, jnp.asarray(valid), H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
 def test_packed_route_infeasible_raises():
     pts, valid = _ring_cloud(14)
     with pytest.raises(ValueError, match="infeasible"):
