@@ -87,6 +87,13 @@ def main():
         backends["pallas-ring-unpacked"] = lambda p, v: reduce(
             *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
                                             packed_route="off"))
+        # scans-per-block sweep (fewer grid steps amortize per-step
+        # overhead — the custom-call residual hypothesis).
+        for spb in (2, 4):
+            backends[f"pallas-ring-spb{spb}"] = (
+                lambda p, v, s=spb: reduce(
+                    *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
+                                                    spb=s)))
     for name, fn in backends.items():
         jfn = jax.jit(fn)
         dt = measure(jfn, inputs)
