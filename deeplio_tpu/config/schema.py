@@ -96,6 +96,10 @@ class ProjectionConfig:
     # chunking at 16-24 measured 4x faster at B=144 on v5e
     # (docs/performance.md). 0 disables chunking.
     chunk: int = 16
+    # pallas-ring only: scans per Mosaic grid step (flattened in-kernel;
+    # bit-identical for any width — fewer grid steps amortize per-step
+    # overhead). Falls back to 1 when the batch doesn't divide.
+    kernel_spb: int = 1
 
     @property
     def fov_rad(self) -> float:
@@ -193,6 +197,7 @@ class DatasetConfig:
             packed=bool(_get(d, "packed", False)),
             backend=str(_get(d, "backend", "sort")),
             chunk=int(_get(d, "projection-chunk", 16)),
+            kernel_spb=int(_get(d, "kernel-spb", 1)),
         )
         combos = tuple(tuple(int(i) for i in c)
                        for c in (_get(d, "combinations", None) or ()))
