@@ -141,6 +141,18 @@ def test_scans_per_block_bit_identical(spb):
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
 
 
+def test_scans_per_block_unpacked_route():
+    """SPB>1 with the 4-array fallback route (packed off)."""
+    pts, valid = _ring_cloud(18, b=4, invalid_frac=0.1)
+    ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
+                                           interpret=True, spb=2,
+                                           packed_route="off")
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
+
+
 def test_scans_per_block_indivisible_falls_back():
     """b % spb != 0 silently uses SPB=1 (same results)."""
     pts, valid = _ring_cloud(16, b=3)
