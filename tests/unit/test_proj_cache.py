@@ -122,6 +122,60 @@ class TestCache:
         l_img = one_step(img_ds)
         assert l_img == pytest.approx(l_raw, rel=2e-2)
 
+    def test_waiter_fails_fast_when_primary_dies(self, tmp_path, monkeypatch):
+        """A non-primary process must not block for the full timeout when
+        the primary's build heartbeat is absent/stale (VERDICT r2 weak #6)."""
+        import time
+
+        cfg = _cfg()
+        cache = ProjectionCache(str(tmp_path), cfg.datasets)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+        class Stub:
+            name = "dead"
+            start = 0
+
+            def __len__(self):
+                return 5
+
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="heartbeat went stale"):
+            cache.ensure([Stub()], timeout_s=3600.0, stall_s=1.0)
+        assert time.time() - t0 < 30.0  # fail-fast, not the 1 h timeout
+
+    def test_waiter_survives_on_fresh_heartbeat(self, tmp_path, monkeypatch):
+        """A fresh heartbeat keeps the waiter alive until the file lands."""
+        import threading
+        import time
+
+        cfg = _cfg()
+        cache = ProjectionCache(str(tmp_path), cfg.datasets)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+        class Stub:
+            name = "slow"
+            start = 0
+
+            def __len__(self):
+                return 5
+
+        stub = Stub()
+
+        def primary():
+            # Simulated primary: heartbeat while "building", then deliver.
+            for _ in range(4):
+                with open(cache._heartbeat(), "w") as f:
+                    f.write("alive")
+                time.sleep(0.5)
+            np.save(cache._path(stub), np.zeros((1,), np.float16))
+
+        th = threading.Thread(target=primary)
+        th.start()
+        try:
+            cache.ensure([stub], timeout_s=30.0, stall_s=1.5)
+        finally:
+            th.join()
+
     def test_cache_plus_augment_is_config_error(self):
         with pytest.raises(ConfigError, match="cache-projections"):
             load_config_dict(yaml.safe_load("""
