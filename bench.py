@@ -99,7 +99,11 @@ _log("imports done")
 BATCH = int(os.environ.get("DEEPLIO_BENCH_BATCH", 16))
 WARMUP = int(os.environ.get("DEEPLIO_BENCH_WARMUP", 3))
 PROVISIONAL_ITERS = 4
-ITERS = int(os.environ.get("DEEPLIO_BENCH_ITERS", 20))
+# Final window needs >= 1 iter past the provisional one (DEEPLIO_BENCH_ITERS
+# is a test/CI override; values <= PROVISIONAL_ITERS would make the final
+# window empty and crash after the provisional emit).
+ITERS = max(int(os.environ.get("DEEPLIO_BENCH_ITERS", 20)),
+            PROVISIONAL_ITERS + 1)
 N_BATCHES = 3  # distinct staged input buffers (>=3: measurement rule 3)
 TARGET = 5000.0
 

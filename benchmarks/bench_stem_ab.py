@@ -89,15 +89,27 @@ def run_variant(overrides: dict, iters: int, raw) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=15)
-    ap.add_argument("spec", nargs="*",
-                    help="key=value overrides; separate variants with --")
-    args = ap.parse_args()
+
+    # Split flags from variant specs BEFORE argparse: a bare "--" is
+    # argparse's positional separator and the first one would be silently
+    # swallowed, merging two variants into one wrong config.
+    flags, spec = [], []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--iters":
+            flags.extend(argv[i:i + 2])
+            i += 2
+        elif argv[i].startswith("--iters="):
+            flags.append(argv[i])
+            i += 1
+        else:
+            spec.append(argv[i])
+            i += 1
+    args = ap.parse_args(flags)
 
     variants, cur = [], {}
-    # NB: argparse swallows the FIRST bare "--" (positional separator), so
-    # "/" is the reliable variant delimiter; "--" still works from the
-    # second occurrence on.
-    for tok in args.spec:
+    for tok in spec:
         if tok in ("--", "/"):
             variants.append(cur)
             cur = {}

@@ -115,7 +115,20 @@ class ProjectionCache:
             with open(self._heartbeat(), "w") as f:
                 f.write(str(os.getpid()))
 
-        beat()
+        # Beat from a daemon thread, not per chunk: the first projector()
+        # call can block for minutes inside a remote jit compile, and a
+        # chunk-paced heartbeat would go stale mid-compile, false-killing
+        # healthy waiters. The thread dies with the process, which is
+        # exactly the liveness signal waiters need.
+        import threading
+        stop = threading.Event()
+
+        def _beater():
+            while not stop.is_set():
+                beat()
+                stop.wait(15.0)
+
+        threading.Thread(target=_beater, daemon=True).start()
         try:
             for d in todo:
                 n = len(d)
@@ -135,13 +148,13 @@ class ProjectionCache:
                     img, _ = projector(pts, vld)
                     out[b0:b0 + len(sel)] = np.asarray(
                         jax.device_get(img[:len(sel)]), np.float16)
-                    beat()
                 out.flush()
                 del out
                 os.replace(tmp, self._path(d))
                 log.info("projection cache: %s (%d frames) -> %s",
                          d.name, n, self._path(d))
         finally:
+            stop.set()
             try:
                 os.remove(self._heartbeat())
             except OSError:

@@ -76,8 +76,24 @@ def is_primary() -> bool:
 
 def make_global_batch(sharding, local_batch: Dict[str, np.ndarray],
                       global_batch_size: int):
-    """Assemble a global device array from this process's local rows."""
-    def put(v):
-        shape = (global_batch_size,) + tuple(v.shape[1:])
+    """Assemble global device arrays from this process's local rows.
+
+    Keys need not share a leading dim: window-level keys carry
+    ``global_batch_size / process_count`` local rows while the flat SoA
+    plane keys (``points_*``, dataset.py::_FLAT_KEYS) carry
+    ``local_windows * S`` rows — each key's global shape is therefore
+    derived from its OWN local leading dim scaled by the process count
+    (processes contribute equal, process-major row blocks).
+    """
+    nproc = jax.process_count()
+    local_bs = global_batch_size // nproc
+
+    def put(k, v):
+        if v.shape[0] % local_bs:
+            raise ValueError(
+                f"batch key {k!r}: local leading dim {v.shape[0]} is not a "
+                f"multiple of the per-process batch {local_bs} "
+                f"(global {global_batch_size} / {nproc} processes)")
+        shape = (v.shape[0] * nproc,) + tuple(v.shape[1:])
         return jax.make_array_from_process_local_data(sharding, v, shape)
-    return {k: put(v) for k, v in local_batch.items()}
+    return {k: put(k, v) for k, v in local_batch.items()}

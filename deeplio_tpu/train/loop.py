@@ -176,6 +176,7 @@ class Trainer:
         # Host-side mirrors: device_get of state.step every iteration would
         # force a per-step host sync and defeat async dispatch.
         self._host_step = self.step
+        self._save_boundary = self._host_step  # periodic-save watermark
         self._epochs_done = 0
         if resumed:
             # Restore host-side trainer state too — otherwise the best-model
@@ -233,14 +234,27 @@ class Trainer:
                         "epoch %d step %d loss %.4f (x %.4f q %.5f) %.0f pairs/s",
                         epoch, step, m_host["loss"], m_host["loss_x"],
                         m_host["loss_q"], pair_meter.val)
-                # Orbax coordinates multi-process saves itself (primary
-                # writes, everyone barriers) — ALL processes must call save.
-                self.ckpt.maybe_save(self.state, step=self._host_step)
+            def _periodic_save():
+                # Called only where self.state and self._host_step agree
+                # (never mid-group with steps-per-call>1): an orbax step
+                # label must name the state it contains. Boundary-crossing
+                # check instead of `step % every == 0` so a save boundary
+                # that falls strictly inside a k-step group still triggers
+                # a save at the group end (labeled with the group-end step)
+                # rather than being skipped or mislabeled.
+                every = self.ckpt.save_every_steps
+                step = self._host_step
+                if every > 0 and step // every > self._save_boundary // every:
+                    self._save_boundary = step
+                    # Orbax coordinates multi-process saves itself (primary
+                    # writes, everyone barriers) — ALL processes call save.
+                    self.ckpt.maybe_save(self.state, force=True, step=step)
 
             if self.spc == 1:
                 for batch in it:
                     self.state, m = self.train_step(self.state, batch)
                     _after(m)
+                    _periodic_save()
             else:
                 # k batches per compiled call; the epoch tail shorter than
                 # k is dropped (documented in TrainConfig.steps_per_call —
@@ -254,6 +268,7 @@ class Trainer:
                         group.clear()
                         for m in ms:
                             _after(m)
+                        _periodic_save()
             if self.val_ds is not None and len(self.val_ds) and \
                     (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 val = self.validate()

@@ -16,6 +16,7 @@ import sys
 
 pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                             sys.argv[3], sys.argv[4])
+arch = sys.argv[5] if len(sys.argv) > 5 else "deepio"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=4")
 
@@ -28,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np  # noqa: E402
 
-from deeplio_tpu.config import load_config  # noqa: E402
+from _mh_common import make_cfg  # noqa: E402
 from deeplio_tpu.data.dataset import build_dataset  # noqa: E402
 from deeplio_tpu.data.pipeline import DevicePrefetcher  # noqa: E402
 from deeplio_tpu.losses import init_loss_params  # noqa: E402
@@ -46,9 +47,7 @@ def main():
     assert jax.process_index() == pid
     assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
 
-    cfg = load_config(
-        os.path.join(os.path.dirname(__file__), "..", "..",
-                     "configs", "deepio_synth.yaml"))
+    cfg = make_cfg(arch)
     mesh = make_mesh(data=8)
     tx = make_optimizer(cfg.optim, 100)
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
@@ -66,6 +65,9 @@ def main():
         mesh, global_batch_size=GLOBAL_BATCH)
     batch = next(iter(it))
     assert batch["imu"].shape[0] == GLOBAL_BATCH  # global view
+    if "points_x" in batch:  # flat SoA plane keys: global [B*S, N] rows
+        S = cfg.datasets.sequence_size
+        assert batch["points_x"].shape[0] == GLOBAL_BATCH * S
     state, metrics = train_step(state, batch)
 
     # Fully-replicated outputs: process-local device_get is the global value.

@@ -15,6 +15,7 @@ import jax
 import numpy as np
 import pytest
 
+from tests.distributed._mh_common import make_cfg
 from deeplio_tpu.config import load_config
 from deeplio_tpu.data.dataset import build_dataset
 from deeplio_tpu.data.pipeline import DevicePrefetcher
@@ -35,9 +36,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference():
+def _single_process_reference(arch):
     """Same step as the workers, one process, 8 devices."""
-    cfg = load_config("configs/deepio_synth.yaml")
+    cfg = make_cfg(arch)
     mesh = make_mesh(data=8)
     tx = make_optimizer(cfg.optim, 100)
     model, variables = init_model(cfg, jax.random.PRNGKey(0), axis_name="data")
@@ -55,14 +56,18 @@ def _single_process_reference():
 
 
 @pytest.mark.slow
-def test_two_process_step_matches_single_process(tmp_path):
+@pytest.mark.parametrize("arch", ["deepio", "deeplo"])
+def test_two_process_step_matches_single_process(tmp_path, arch):
+    """deepio covers the window-level keys; deeplo additionally pushes the
+    flat SoA point planes ([B*S, N]) through make_global_batch, whose
+    per-key global shapes must scale with each key's own local rows."""
     port = _free_port()
     worker = os.path.join(_HERE, "_mh_worker.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
         subprocess.Popen([sys.executable, worker, str(pid), "2", str(port),
-                          str(tmp_path)],
+                          str(tmp_path), arch],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
         for pid in range(2)
@@ -74,13 +79,20 @@ def test_two_process_step_matches_single_process(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
-    ref_params, ref_loss = _single_process_reference()
+    ref_params, ref_loss = _single_process_reference(arch)
+    # Param atol: a first Adam step is ~lr*sign(g) per element, so grad
+    # elements at cross-process psum reduction-order noise (|g|~1e-8 in the
+    # deeplo conv tower) can flip sign and differ by up to 2*lr — benign.
+    # A real slicing/assembly bug mismatches thousands of elements at O(1)
+    # relative error, far outside these bounds (observed benign worst case:
+    # 33/1.65M elements, max 8.6e-5).
+    atol = 1e-6 if arch == "deepio" else 1.5e-3
     for pid in range(2):
         blob = np.load(tmp_path / f"p{pid}.npz")
         assert blob["loss"] == pytest.approx(ref_loss, rel=1e-5), \
             f"process {pid} loss diverged"
         np.testing.assert_allclose(
-            blob["params"], ref_params, rtol=2e-5, atol=1e-6,
+            blob["params"], ref_params, rtol=2e-5, atol=atol,
             err_msg=f"process {pid} params diverged from single-process run")
 
 

@@ -58,6 +58,29 @@ def test_checkpoint_resume_bit_equal(tmp_path):
     t2.close()
 
 
+def test_steps_per_call_checkpoint_labels_match_state(tmp_path):
+    """With steps-per-call k>1 the trainer state only exists at group
+    boundaries; every orbax step label must equal the step counter INSIDE
+    the saved state (a label naming a state it doesn't contain corrupts
+    resume-at-step and best-tracking)."""
+    cfg = load_config("configs/deepio_synth.yaml")
+    # save boundary (3) falls strictly inside the 4-step groups
+    cfg = _small(cfg, epochs=1, batch_size=8, checkpoint_every_steps=3,
+                 steps_per_call=4, log_every=100)
+    wd = str(tmp_path / "run")
+    t = Trainer(cfg, workdir=wd)
+    t.fit(epochs=1)
+    t.ckpt.wait()
+    labels = sorted(t.ckpt._mgr.all_steps())
+    assert labels, "no checkpoints saved"
+    # Labels must land on group boundaries only (multiples of k, or the
+    # final forced save), never on mid-group steps the state skipped over.
+    for lbl in labels:
+        restored = t.ckpt.restore(t.state, step=lbl)
+        assert int(jax.device_get(restored.step)) == lbl
+    t.close()
+
+
 def test_deeplo_one_step(tmp_path):
     """Lidar path: projection+conv tower through the shard_map step."""
     cfg = load_config("configs/deeplo_synth.yaml")
