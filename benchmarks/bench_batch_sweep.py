@@ -23,37 +23,21 @@ import numpy as np
 import yaml
 
 from __graft_entry__ import _FLAGSHIP, _raw_batch
+from common import setup_state, stage_batches
 from deeplio_tpu.config import load_config_dict
-from deeplio_tpu.losses import init_loss_params
-from deeplio_tpu.models import init_model_fast
-from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
-from deeplio_tpu.train import build_train_step, create_train_state, make_optimizer
+from deeplio_tpu.parallel import make_mesh
+from deeplio_tpu.train import build_train_step
 
 
 def run_batch(batch: int, iters: int, spc: int = 1) -> float:
     cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
     mesh = make_mesh(data=-1)
     n_chips = len(jax.devices())
-    tx = make_optimizer(cfg.optim, 1000)
-    old_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
-                                           axis_name="data", probe_width=64)
-        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
-                                   jax.random.PRNGKey(1))
-    jax.config.update("jax_compilation_cache_dir", old_dir)
-    state = replicate(mesh, state)
+    model, state, tx = setup_state(cfg, mesh)
     train_step, _ = build_train_step(cfg, model, tx, mesh,
                                      steps_per_call=spc)
-    import jax.numpy as jnp
     raw = _raw_batch(cfg, batch * n_chips, seed=0)
-    roll = jax.jit(
-        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
-        static_argnums=1)
-    batches = [shard_batch(mesh, raw)]
-    batches += [roll(batches[0], s) for s in (1, 2)]
+    batches = stage_batches(mesh, raw, 3)
 
     def call(state, i):
         if spc == 1:

@@ -17,16 +17,13 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
-import numpy as np
 import yaml
 
 from __graft_entry__ import _FLAGSHIP, _raw_batch
+from common import setup_state, stage_batches
 from deeplio_tpu.config import load_config_dict
-from deeplio_tpu.losses import init_loss_params
-from deeplio_tpu.models import init_model_fast
-from deeplio_tpu.parallel import make_mesh, replicate, shard_batch
-from deeplio_tpu.train import (build_train_step, create_train_state,
-                               make_optimizer)
+from deeplio_tpu.parallel import make_mesh
+from deeplio_tpu.train import build_train_step
 from xplane import bucket_ops, parse_trace
 
 BATCH = 16
@@ -40,25 +37,10 @@ def main():
         d["lidar-feat-pointseg"][k] = v
     cfg = load_config_dict(d)
     mesh = make_mesh(data=-1)
-    tx = make_optimizer(cfg.optim, 1000)
-    old_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        model, variables = init_model_fast(cfg, jax.random.PRNGKey(0),
-                                           axis_name="data", probe_width=64)
-        state = create_train_state(variables, init_loss_params(cfg.loss), tx,
-                                   jax.random.PRNGKey(1))
-    jax.config.update("jax_compilation_cache_dir", old_dir)
-    state = replicate(mesh, state)
+    model, state, tx = setup_state(cfg, mesh)
     train_step, _ = build_train_step(cfg, model, tx, mesh)
     raw = _raw_batch(cfg, BATCH * len(jax.devices()), seed=0)
-    import jax.numpy as jnp
-    roll = jax.jit(
-        lambda b, s: {k: jnp.roll(v, s, axis=0) for k, v in b.items()},
-        static_argnums=1)
-    batches = [shard_batch(mesh, raw)]
-    batches += [roll(batches[0], s) for s in (1, 2)]
+    batches = stage_batches(mesh, raw, 3)
 
     for i in range(3):
         state, m = train_step(state, batches[i % 3])
