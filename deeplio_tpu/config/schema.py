@@ -100,6 +100,12 @@ class ProjectionConfig:
     # bit-identical for any width — fewer grid steps amortize per-step
     # overhead). Falls back to 1 when the batch doesn't divide.
     kernel_spb: int = 1
+    # pallas-ring only: packed (pix<<rq|rq) routing word in the kernel's
+    # compaction (3 carried arrays instead of 4; bit-identical either
+    # way). "auto" packs whenever the shape allows; "on"/"off" force it
+    # (on raises for infeasible shapes). Config-exposed so the flagship
+    # can pin the last on-chip-validated route while A/Bs run.
+    kernel_packed: str = "auto"
 
     @property
     def fov_rad(self) -> float:
@@ -198,7 +204,12 @@ class DatasetConfig:
             backend=str(_get(d, "backend", "sort")),
             chunk=int(_get(d, "projection-chunk", 16)),
             kernel_spb=int(_get(d, "kernel-spb", 1)),
+            kernel_packed=str(_get(d, "kernel-packed", "auto")),
         )
+        if proj.kernel_packed not in ("auto", "on", "off"):
+            raise ConfigError(
+                f"kernel-packed must be auto|on|off, got "
+                f"{proj.kernel_packed!r}")
         combos = tuple(tuple(int(i) for i in c)
                        for c in (_get(d, "combinations", None) or ()))
         seq = int(_get(d, "sequence-size", 2))

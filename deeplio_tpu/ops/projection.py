@@ -683,6 +683,7 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     backend = getattr(cfg_proj, "backend", "sort")
     chunk = int(getattr(cfg_proj, "chunk", 0) or 0)
     kernel_spb = int(getattr(cfg_proj, "kernel_spb", 1) or 1)
+    kernel_packed = str(getattr(cfg_proj, "kernel_packed", "auto") or "auto")
     if layout not in ("aos", "planes"):
         raise ValueError(f"layout must be aos|planes, got {layout!r}")
 
@@ -712,7 +713,8 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
                 from deeplio_tpu.ops.projection_pallas_ring import (
                     project_batch_ring_pallas)
                 img5, mask = project_batch_ring_pallas(
-                    pts, vld, H, W, fu, fd, spb=kernel_spb)
+                    pts, vld, H, W, fu, fd, spb=kernel_spb,
+                    packed_route=kernel_packed)
         elif backend == "ring":
             img5, mask = project_batch_ring(pts, vld, H, W, fu, fd, payload=pay)
         elif backend == "sort":
@@ -739,7 +741,8 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             project_batch_ring_pallas_planes)
         x, y, z, rem = planes
         img5, mask = project_batch_ring_pallas_planes(
-            x, y, z, rem, vld, H, W, fu, fd, spb=kernel_spb)
+            x, y, z, rem, vld, H, W, fu, fd, spb=kernel_spb,
+            packed_route=kernel_packed)
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
         if out_dtype is not None:
