@@ -139,7 +139,20 @@ def _wait_for_backend(attempts: int = 3, probe_timeout: float = 110.0) -> None:
 
 
 def main():
-    cfg = load_config_dict(yaml.safe_load(_FLAGSHIP))
+    d = yaml.safe_load(_FLAGSHIP)
+    # Kernel-knob A/Bs under the EXACT driver protocol (r3_measure.sh):
+    # space-separated key=value pairs merged into the datasets section,
+    # e.g. DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2". Driver runs
+    # leave it unset.
+    for tok in os.environ.get("DEEPLIO_BENCH_DS", "").split():
+        k, v = tok.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            pass
+        d["datasets"][k] = v
+        _log(f"datasets override: {k} = {v!r}")
+    cfg = load_config_dict(d)
     _wait_for_backend()
     n_chips = len(jax.devices())
     mesh = make_mesh(data=-1)
