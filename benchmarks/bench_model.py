@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
+from common import project_frames
 from __graft_entry__ import _FLAGSHIP, _raw_batch
 from deeplio_tpu.config import load_config_dict
 from deeplio_tpu.losses import init_loss_params
@@ -78,10 +79,7 @@ def main():
 
     @jax.jit
     def proj_only(raw):
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         return jnp.sum(imgs.astype(jnp.float32))
 
     dev_raws = [{k: jax.device_put(v) for k, v in r.items()} for r in raws]
@@ -92,10 +90,7 @@ def main():
     # 3) model fwd+bwd on pre-projected images (no projection in graph)
     @jax.jit
     def make_mb(raw):
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

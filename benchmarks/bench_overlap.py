@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import yaml
 
+from common import project_frames
 from __graft_entry__ import _FLAGSHIP, _raw_batch
 from deeplio_tpu.config import load_config_dict
 from deeplio_tpu.models import init_model
@@ -58,10 +59,7 @@ def main():
 
     @jax.jit
     def make_mb(raw):
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),
@@ -83,10 +81,7 @@ def main():
     # (a) projection alone
     @jax.jit
     def proj_only(raw):
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         return imgs
 
     t_a = time_fn(lambda r: jnp.sum(proj_only(r).astype(jnp.float32)),
@@ -107,10 +102,7 @@ def main():
         v, g = jax.value_and_grad(model_loss)(p, mb, key)
         gsum = sum(jnp.sum(x.astype(jnp.float32))
                    for x in jax.tree_util.tree_leaves(g))
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         return v + 0.0 * gsum, imgs
 
     def run_c(i):
@@ -150,10 +142,7 @@ def shardmap_variant():
     raws = [shard_batch(mesh, _raw_batch(cfg, B, seed=s)) for s in range(3)]
 
     def stage(raw):
-        imgs, _ = projector(
-            (raw["points_x"], raw["points_y"],
-             raw["points_z"], raw["points_rem"]), raw["points_valid"])
-        imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+        imgs, _ = project_frames(projector, raw)
         pairs = [jnp.concatenate([imgs[:, i], imgs[:, j]], axis=-1)
                  for (i, j) in ds.effective_combinations]
         return {"images": jnp.stack(pairs, axis=1),

@@ -43,6 +43,14 @@ def _parse_val(v: str):
 def run_variant(overrides: dict, iters: int, raw) -> float:
     d = yaml.safe_load(_FLAGSHIP)
     d["lidar-feat-pointseg"].update(overrides)
+    # The flagship pins pool=stride-fold, which requires stem=classic; a
+    # stem-varying A/B would otherwise crash at config validation. Fall
+    # back to the plain stride pool unless the variant pins its own.
+    blk = d["lidar-feat-pointseg"]
+    if (blk.get("stem", "classic") != "classic"
+            and "pool" not in overrides
+            and blk.get("pool") == "stride-fold"):
+        blk["pool"] = "stride"
     cfg = load_config_dict(d)
     mesh = make_mesh(data=-1)
     n_chips = len(jax.devices())

@@ -46,6 +46,22 @@ def setup_state(cfg, mesh, lr_steps: int = 1000, probe_width: int = 64):
     return model, replicate(mesh, state), tx
 
 
+def project_frames(projector, raw):
+    """Project a raw flat-plane batch to per-window frame images.
+
+    The loader contract (data/dataset.py::_FLAT_KEYS) ships point planes
+    flat as [B*S, N]; the projector consumes them directly and the
+    result is viewed back to [B, S, H, W, C] using a window-level key's
+    leading dim. One copy of this recipe so a plane-contract change
+    can't leave a harness silently benchmarking a stale layout.
+    """
+    imgs, mask = projector(
+        (raw["points_x"], raw["points_y"],
+         raw["points_z"], raw["points_rem"]), raw["points_valid"])
+    imgs = imgs.reshape((raw["x_gt"].shape[0], -1) + imgs.shape[1:])
+    return imgs, mask
+
+
 def stage_batches(mesh, raw, n: int = 3):
     """Shard one raw host batch, derive n-1 more by device-side rolls."""
     roll = jax.jit(

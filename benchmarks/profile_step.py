@@ -32,9 +32,17 @@ ITERS = 8
 
 def main():
     d = yaml.safe_load(_FLAGSHIP)
+    seen = set()
     for tok in sys.argv[1:]:
         k, v = tok.split("=", 1)
         d["lidar-feat-pointseg"][k] = v
+        seen.add(k)
+    # pool=stride-fold (the flagship pin) requires stem=classic; a stem
+    # override would crash config validation unless it pins its own pool.
+    blk = d["lidar-feat-pointseg"]
+    if (blk.get("stem", "classic") != "classic" and "pool" not in seen
+            and blk.get("pool") == "stride-fold"):
+        blk["pool"] = "stride"
     cfg = load_config_dict(d)
     mesh = make_mesh(data=-1)
     model, state, tx = setup_state(cfg, mesh)

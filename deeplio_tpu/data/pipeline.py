@@ -45,10 +45,21 @@ class DevicePrefetcher:
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
         if self._multiproc:
+            from deeplio_tpu.data.dataset import _FLAT_KEYS
             from deeplio_tpu.parallel.multihost import make_global_batch
             gbs = self._global_bs
             if gbs is None:
-                gbs = next(iter(batch.values())).shape[0] * jax.process_count()
+                # Derive from a WINDOW-level key: the flat plane keys
+                # (_FLAT_KEYS) carry B*S rows, and using one of those as
+                # the batch size would fail make_global_batch's per-key
+                # divisibility check for every window-level key.
+                win = [v.shape[0] for k, v in batch.items()
+                       if k not in _FLAT_KEYS]
+                if not win:
+                    raise ValueError(
+                        "cannot derive global_batch_size from a batch of "
+                        "only flat plane keys — pass global_batch_size")
+                gbs = min(win) * jax.process_count()
             return make_global_batch(self._sharding, batch, gbs)
         return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
 

@@ -526,6 +526,12 @@ def project_batch_ring_pallas_planes(
     # packed route: (pix << rq_bits | rq) must fit int32, pix up to the
     # n_pix out-of-range marker. Falls back to the 4-array route for
     # exotic shapes (huge n_pix with wide rq).
+    if packed_route not in ("auto", "on", "off"):
+        # A typo silently selecting the unpacked route would make every
+        # A/B measurement a lie — reject like make_projector rejects
+        # unknown layouts.
+        raise ValueError(
+            f"packed_route must be auto|on|off, got {packed_route!r}")
     if packed_route == "auto":
         packed = ((n_pix << rq_bits) | rq_max) < 2**31
     else:

@@ -56,6 +56,15 @@ class CheckpointManager:
                 return False
             self.wait()
             if step in (self._mgr.all_steps() or []):
+                # Overwrite = delete + save, which opens a crash window
+                # with NO checkpoint at this step (orbax coordinates the
+                # delete across processes itself — all processes call it,
+                # like save). Bounded risk when an older step remains to
+                # resume from; if this is the ONLY finalized checkpoint,
+                # keep the metrics-less save instead of risking losing
+                # the run's sole restore point.
+                if len(self._mgr.all_steps()) <= 1:
+                    return False
                 self._mgr.delete(step)
         self._mgr.save(
             step,

@@ -152,6 +152,15 @@ class Trainer:
         self.state = replicate(self.mesh, state)
 
         self.spc = max(int(cfg.train.steps_per_call), 1)
+        if self.train_ds is not None and self.spc > steps_per_epoch:
+            # Epoch tails shorter than the group are documented as
+            # dropped; a group larger than the whole epoch would silently
+            # train ZERO steps per epoch (rc=0, untrained checkpoint).
+            raise ValueError(
+                f"steps-per-call {self.spc} exceeds the {steps_per_epoch} "
+                f"steps per epoch (batch-size {cfg.train.batch_size}, "
+                f"{len(self.train_ds)} windows) — every epoch would drop "
+                f"all its batches")
         self.train_step, self.eval_step = build_train_step(
             cfg, self.model, self.tx, self.mesh, steps_per_call=self.spc)
 

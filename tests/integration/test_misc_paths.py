@@ -76,6 +76,40 @@ def test_prefetcher_propagates_worker_errors():
             pass
 
 
+def test_prefetcher_default_gbs_skips_flat_plane_keys(monkeypatch):
+    """The default global-batch-size derivation must come from a
+    WINDOW-level key: flat plane keys carry B*S rows, and deriving from
+    one of those makes every window-level key fail make_global_batch's
+    per-key divisibility check (found in review; the dict's first key IS
+    a plane key under the loader's collate order)."""
+    import deeplio_tpu.data.pipeline as pipeline_mod
+    import deeplio_tpu.parallel.multihost as mh
+    from deeplio_tpu.data.pipeline import DevicePrefetcher
+    from deeplio_tpu.parallel import make_mesh
+
+    seen = {}
+
+    def fake_global(sharding, batch, gbs):
+        seen["gbs"] = gbs
+        return batch
+
+    monkeypatch.setattr(mh, "make_global_batch", fake_global)
+    monkeypatch.setattr(pipeline_mod.jax, "process_count", lambda: 2)
+
+    B, S, N = 4, 3, 16
+    def one_batch():
+        yield {
+            "points_x": np.zeros((B * S, N), np.float32),   # flat: B*S rows
+            "x_gt": np.zeros((B, 1, 3), np.float32),        # window-level
+            "imu": np.zeros((B, 1, 8, 6), np.float32),
+        }
+
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    it = DevicePrefetcher(one_batch(), mesh, depth=1)
+    next(it)
+    assert seen["gbs"] == B * 2  # window rows x process_count, NOT B*S*2
+
+
 def test_profile_flag_writes_trace(tmp_path):
     cfg = _tiny_yaml(tmp_path)
     wd = str(tmp_path / "runp")

@@ -81,6 +81,52 @@ def test_steps_per_call_checkpoint_labels_match_state(tmp_path):
     t.close()
 
 
+def test_steps_per_call_exceeding_epoch_rejected(tmp_path):
+    """A k-step group larger than the whole epoch would silently train
+    ZERO steps (every epoch's batches dropped as a short tail) and exit
+    rc=0 with an untrained checkpoint — must be a loud config error."""
+    cfg = load_config("configs/deepio_synth.yaml")
+    n = 64  # synthetic fixture windows (see dataset); batch 32 -> 2 steps
+    cfg = _small(cfg, epochs=1, batch_size=32, steps_per_call=64,
+                 checkpoint_every_steps=0)
+    with pytest.raises(ValueError, match="steps-per-call"):
+        Trainer(cfg, workdir=str(tmp_path / "run"))
+
+
+def test_forced_metrics_save_keeps_sole_checkpoint(tmp_path):
+    """The forced-metrics overwrite (delete+resave) must not run when the
+    step is the run's ONLY finalized checkpoint — a crash between delete
+    and save would lose the sole restore point."""
+    from deeplio_tpu.train.checkpoint import CheckpointManager
+    from deeplio_tpu.train import create_train_state, make_optimizer
+    from deeplio_tpu.losses import init_loss_params
+    from deeplio_tpu.models import init_model
+    cfg = load_config("configs/deepio_synth.yaml")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(variables, init_loss_params(cfg.loss),
+                               make_optimizer(cfg.optim, 10),
+                               jax.random.PRNGKey(1))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every_steps=5)
+    assert mgr.maybe_save(state, step=5)            # metrics-less periodic
+    mgr.wait()
+    # forced metrics save at the same (only) step: refused, ckpt intact
+    assert not mgr.maybe_save(state, metrics={"val_loss": 1.0},
+                              force=True, step=5)
+    assert mgr.latest_step() == 5
+    restored = mgr.restore(state, step=5)
+    assert int(jax.device_get(restored.step)) == int(
+        jax.device_get(state.step))
+    # with a SECOND finalized step, the overwrite path is allowed again
+    state10 = state.replace(step=state.step + 10)
+    assert mgr.maybe_save(state10, step=10)
+    mgr.wait()
+    assert mgr.maybe_save(state10, metrics={"val_loss": 0.5},
+                          force=True, step=10)
+    mgr.wait()
+    assert sorted(mgr._mgr.all_steps()) == [5, 10]
+    mgr.close()
+
+
 def test_deeplo_one_step(tmp_path):
     """Lidar path: projection+conv tower through the shard_map step."""
     cfg = load_config("configs/deeplo_synth.yaml")
