@@ -191,7 +191,14 @@ def main():
     jax.block_until_ready(state.params)
     _log("train state transferred to device")
 
-    train_step, _ = build_train_step(cfg, model, tx, mesh)
+    # Optional steps-per-call A/B under the exact protocol (unset for
+    # driver runs unless adopted into the flagship): k optimizer steps per
+    # compiled program; each timed call consumes k distinct batches.
+    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "1")), 1)
+    if spc > 1:
+        _log(f"steps-per-call: {spc}")
+    train_step, _ = build_train_step(cfg, model, tx, mesh,
+                                     steps_per_call=spc)
 
     batch_size = BATCH * n_chips
     # One host synthesis + ONE transfer; the other distinct buffers are
@@ -212,23 +219,31 @@ def main():
         jax.block_until_ready(batches[-1]["points_x"])
         _log(f"staged device batch {s + 1}/{N_BATCHES} (device-side roll)")
 
+    def call(state, idx):
+        """One timed invocation = spc optimizer steps on distinct batches."""
+        if spc == 1:
+            return train_step(state, batches[idx % N_BATCHES])
+        sel = [batches[(idx * spc + j) % N_BATCHES] for j in range(spc)]
+        state, ms = train_step(state, *sel)
+        return state, ms[-1]
+
     for i in range(WARMUP):
         _log(f"warmup step {i + 1}/{WARMUP} dispatched"
              + (" (first call: compile-or-load of the step executable; "
                 "minutes-scale through the axon relay)" if i == 0 else ""))
-        state, m = train_step(state, batches[i % N_BATCHES])
+        state, m = call(state, i)
         loss = _sync_scalar(m["loss"])
         _log(f"warmup step {i + 1} done, loss={loss:.4f}")
     assert np.isfinite(loss)
 
-    pairs = batch_size * cfg.datasets.num_pairs
+    pairs = batch_size * cfg.datasets.num_pairs * spc
     done = WARMUP
 
     def window(n_iters: int) -> float:
         nonlocal state, done
         t0 = time.time()
         for i in range(n_iters):
-            state, m = train_step(state, batches[(done + i) % N_BATCHES])
+            state, m = call(state, done + i)
         final_loss = _sync_scalar(m["loss"])  # forces the full chain
         dt = (time.time() - t0) / n_iters
         done += n_iters
@@ -240,7 +255,7 @@ def main():
     _emit(v1, provisional=True)
 
     v2 = window(ITERS - PROVISIONAL_ITERS)
-    assert int(_sync_scalar(state.step)) == WARMUP + ITERS
+    assert int(_sync_scalar(state.step)) == (WARMUP + ITERS) * spc
     _log(f"final window ({ITERS - PROVISIONAL_ITERS} iters): {v2:.1f} pairs/s/chip")
     _emit(v2, provisional=False)
 
