@@ -23,12 +23,12 @@ timeout 900 python bench.py > "$OUT/bench.out" 2> "$OUT/bench.err"
 log "bench rc=$? last: $(tail -1 "$OUT/bench.out")"
 
 log "stage 1b: packed-route A/B (driver protocol, kernel-packed=on)"
-DEEPLIO_BENCH_DS="kernel-packed=on" timeout 900 python bench.py \
+DEEPLIO_BENCH_DS="kernel-packed=on" timeout 1500 python bench.py \
     > "$OUT/bench_packed.out" 2> "$OUT/bench_packed.err"
 log "bench packed rc=$? last: $(tail -1 "$OUT/bench_packed.out")"
 
 log "stage 1c: packed+spb2 A/B"
-DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" timeout 900 python bench.py \
+DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" timeout 1500 python bench.py \
     > "$OUT/bench_spb2.out" 2> "$OUT/bench_spb2.err"
 log "bench spb2 rc=$? last: $(tail -1 "$OUT/bench_spb2.out")"
 
