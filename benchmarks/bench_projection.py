@@ -83,7 +83,9 @@ def main():
                     *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
                                                     lanes=l)))
         # packed routing word on/off at the default lane width (the
-        # packed route is the r3 default wherever the bit budget fits).
+        # wrapper default is auto->on where the bit budget fits; the
+        # FLAGSHIP pins it off until the full-step bench A/B adopts it —
+        # see docs/performance.md).
         backends["pallas-ring-unpacked"] = lambda p, v: reduce(
             *_ppr.project_batch_ring_pallas(p, v, H, W, FU, FD,
                                             packed_route="off"))
