@@ -32,6 +32,12 @@ DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" timeout 1500 python bench.py \
     > "$OUT/bench_spb2.out" 2> "$OUT/bench_spb2.err"
 log "bench spb2 rc=$? last: $(tail -1 "$OUT/bench_spb2.out")"
 
+log "stage 1d: combined candidate (packed+spb2, 2 steps/call)"
+DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" DEEPLIO_BENCH_SPC=2 \
+    timeout 1500 python bench.py \
+    > "$OUT/bench_combo.out" 2> "$OUT/bench_combo.err"
+log "bench combo rc=$? last: $(tail -1 "$OUT/bench_combo.out")"
+
 log "stage 2/6: profile_step (custom-call enumeration)"
 timeout 900 python benchmarks/profile_step.py > "$OUT/profile.out" 2> "$OUT/profile.err"
 log "profile rc=$?"
