@@ -32,6 +32,11 @@ DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" timeout 1500 python bench.py \
     > "$OUT/bench_spb2.out" 2> "$OUT/bench_spb2.err"
 log "bench spb2 rc=$? last: $(tail -1 "$OUT/bench_spb2.out")"
 
+log "stage 1c2: packed+spb4 A/B (may fail scoped-VMEM at 64M — informative)"
+DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=4" timeout 1500 python bench.py \
+    > "$OUT/bench_spb4.out" 2> "$OUT/bench_spb4.err"
+log "bench spb4 rc=$? last: $(tail -1 "$OUT/bench_spb4.out")"
+
 log "stage 1d: combined candidate (packed+spb2, 2 steps/call)"
 DEEPLIO_BENCH_DS="kernel-packed=on kernel-spb=2" DEEPLIO_BENCH_SPC=2 \
     timeout 1500 python bench.py \
