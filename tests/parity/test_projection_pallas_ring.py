@@ -127,12 +127,12 @@ def test_packed_route_bit_identical(packed_route):
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ix))
 
 
-@pytest.mark.parametrize("spb", [2, 3])
-def test_scans_per_block_bit_identical(spb):
+@pytest.mark.parametrize("spb,b", [(2, 6), (3, 6), (4, 4)])
+def test_scans_per_block_bit_identical(spb, b):
     """SPB scans per grid step (flattened [SPB*R, LANES] views with
     per-scan masked row carries) changes scheduling only — bit-identical
     to the XLA twin for every batch the width divides."""
-    pts, valid = _ring_cloud(15, b=6, invalid_frac=0.2)
+    pts, valid = _ring_cloud(15, b=b, invalid_frac=0.2)
     ik, mk = ppr.project_batch_ring_pallas(pts, valid, H, W, FU, FD,
                                            interpret=True, spb=spb)
     ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
