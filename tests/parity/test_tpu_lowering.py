@@ -36,3 +36,16 @@ def test_ring_kernel_lowers_for_tpu(packed_route, spb):
     valid = jnp.ones((B, N), bool)
     exp = export.export(jax.jit(f), platforms=["tpu"])(pts, valid)
     assert exp.platforms == ("tpu",)
+
+
+@pytest.mark.slow
+def test_driver_entry_lowers_for_tpu():
+    """The driver compile-checks ``__graft_entry__.entry()`` on the real
+    chip; this lowers the same program for TPU in CPU CI, so an
+    HLO-breaking commit fails here instead of in the graded artifact
+    (round-2 lesson: validate contract entry points off-chip too)."""
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    assert exp.platforms == ("tpu",)
