@@ -44,19 +44,17 @@ def main(argv=None):
     log = get_app_logger()
     out = args.out or os.path.join(args.workdir, "artifact")
 
+    import jax
+
     trainer = Trainer(cfg, workdir=args.workdir, resume=True, eval_only=True)
     if trainer.ckpt.latest_step() is None:
         raise SystemExit(f"no checkpoint found under {args.workdir}")
     if args.use_best:
-        import jax
-
         from deeplio_tpu.train import load_params
         best = os.path.join(args.workdir, "best")
         params = load_params(best, jax.device_get(trainer.state.params))
         trainer.state = trainer.state.replace(params=params)
         log.info("exporting best-validation snapshot from %s", best)
-
-    import jax
 
     variables = {"params": jax.device_get(trainer.state.params)}
     stats = jax.device_get(trainer.state.batch_stats)
