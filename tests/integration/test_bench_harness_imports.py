@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = str(pathlib.Path(__file__).resolve().parents[2])
 
 HARNESSES = ["common", "bench_batch_sweep", "bench_stem_ab", "profile_step",
