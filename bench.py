@@ -114,28 +114,50 @@ def _sync_scalar(x) -> float:
     return float(jax.device_get(x))
 
 
-def _wait_for_backend(attempts: int = 3, probe_timeout: float = 110.0) -> None:
+def _wait_for_backend(probe_timeout: float = 110.0) -> None:
     """Probe backend liveness in a subprocess before touching it here.
 
     A dead/wedged axon relay makes the first jax.devices() call block
     indefinitely with no output (and it holds the GIL, so no in-process
     watchdog can fire). The subprocess probe turns that failure mode into
-    loud, bounded retries; if the backend never comes up we proceed anyway
-    so the stderr trail shows exactly where the real init hangs.
+    loud, bounded retries. Probing continues until a wall-clock deadline
+    (DEEPLIO_BENCH_PROBE_DEADLINE_S from process start, default 420 s —
+    catches a relay that recovers mid-window); past the deadline the run
+    FAILS FAST AND LOUD: a structured error JSON on stdout + exit 3,
+    instead of the round-3 failure mode of blocking inside PJRT init
+    until the driver's SIGTERM (+1840 s, zero output — VERDICT.md).
+    Exiting early leaves the driver's timeout budget available for a
+    retry that might catch the relay back up.
     """
     from __graft_entry__ import probe_device_count
 
     if os.environ.get("DEEPLIO_BENCH_CPU"):
         return
-    for i in range(attempts):
-        _log(f"probing TPU backend liveness (subprocess, attempt "
-             f"{i + 1}/{attempts}, timeout {probe_timeout:.0f}s) ...")
-        n = probe_device_count(timeout_s=probe_timeout)
+    deadline = _T0 + float(
+        os.environ.get("DEEPLIO_BENCH_PROBE_DEADLINE_S", "420"))
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        budget = min(probe_timeout, max(deadline - time.time(), 10.0))
+        _log(f"probing TPU backend liveness (subprocess, attempt {attempt}, "
+             f"timeout {budget:.0f}s, deadline +{deadline - _T0:.0f}s) ...")
+        t0 = time.time()
+        n = probe_device_count(timeout_s=budget)
         if n:
             _log(f"backend alive: {n} device(s)")
             return
         _log("backend probe FAILED (relay down or wedged)")
-    _log("backend never answered; attempting real init anyway")
+        if time.time() - t0 < 10.0:
+            # Fast-erroring relay (e.g. connection refused): don't hot-spin.
+            time.sleep(min(15.0, max(deadline - time.time(), 0.0)))
+    _log(f"backend never answered within the probe deadline "
+         f"({attempt} attempts); failing fast")
+    print(json.dumps({
+        "error": "backend unavailable",
+        "detail": f"TPU relay did not answer {attempt} subprocess probes "
+                  f"within {deadline - _T0:.0f}s",
+    }), flush=True)
+    sys.exit(3)
 
 
 def main():
