@@ -62,4 +62,8 @@ timeout 900 python benchmarks/bench_stream.py 1 --budget \
     > "$OUT/stream.out" 2> "$OUT/stream.err"
 log "stream rc=$?"
 
-log "stage 6/6: done — inspect $OUT/*.out"
+log "stage 6/6: blitz done — inspect $OUT/*.out (rank with benchmarks/r3_adopt.py)"
+
+log "chaining round-4 accuracy A/B (benchmarks/r4_onchip.sh — VERDICT r3 items 4+8)"
+bash benchmarks/r4_onchip.sh
+log "all stages done"

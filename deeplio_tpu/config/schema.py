@@ -145,6 +145,12 @@ class DatasetConfig:
     # synthetic fixture mode for CI / benches without KITTI on disk
     synthetic: bool = False
     synthetic_frames: int = 64
+    # eval (validation/test) drive length; 0 = same as synthetic_frames.
+    # Longer held-out drives buy statistically meaningful KITTI relative
+    # errors: a 192-frame (~153 m) drive yields n_segments=7 in one length
+    # bucket, a 512-frame (~410 m) drive ~75 segments over 3 buckets
+    # (eval/metrics.py protocol: 10-frame start stride, 100 m multiples).
+    synthetic_eval_frames: int = 0
     # drives per split (train seeds 0.., val seeds 100.., test seeds 200..)
     synthetic_train_drives: int = 2
     synthetic_eval_drives: int = 1
@@ -238,6 +244,7 @@ class DatasetConfig:
             augment_yaw=bool(_get(d, "augment-yaw", False)),
             synthetic=bool(_get(d, "synthetic", False)),
             synthetic_frames=int(_get(d, "synthetic-frames", 64)),
+            synthetic_eval_frames=int(_get(d, "synthetic-eval-frames", 0)),
             synthetic_train_drives=int(_get(d, "synthetic-train-drives", 2)),
             synthetic_eval_drives=int(_get(d, "synthetic-eval-drives", 1)),
             labels_path=str(_get(d, "labels-path", "")),

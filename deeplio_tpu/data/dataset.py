@@ -172,7 +172,10 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
                                 for i in range(ds.synthetic_eval_drives)),
             "test": tuple(200 + i for i in range(ds.synthetic_eval_drives)),
         }[split]
-        return [SyntheticDrive(n_frames=ds.synthetic_frames,
+        n_frames = ds.synthetic_frames
+        if split != "train" and ds.synthetic_eval_frames:
+            n_frames = ds.synthetic_eval_frames
+        return [SyntheticDrive(n_frames=n_frames,
                                max_points=ds.projection.max_points, seed=sd)
                 for sd in seeds]
     split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
