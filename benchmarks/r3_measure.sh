@@ -63,7 +63,8 @@ timeout 900 python benchmarks/bench_stream.py 1 --budget \
 log "stream rc=$?"
 
 log "stage 6/6: blitz done — inspect $OUT/*.out (rank with benchmarks/r3_adopt.py)"
-
-log "chaining round-4 accuracy A/B (benchmarks/r4_onchip.sh — VERDICT r3 items 4+8)"
-bash benchmarks/r4_onchip.sh
+# NOTE: the round-4 accuracy A/B (benchmarks/r4_onchip.sh) is launched
+# separately, AFTER adoption + re-validation of the perf winners — the
+# unattended auto-chain was only for the watcher scenario where no one
+# is around to sequence the chip.
 log "all stages done"

@@ -88,7 +88,13 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     both routes and SPB widths)."""
     SR = SPB * R
     SOUT = SPB * OUT_R
-    CROWS = SPB * (OUT_R + 2)          # compact-buffer rows (per-scan +2)
+    # Per-scan compact-region stride, padded to a sublane multiple: Mosaic
+    # (libtpu >= 0.0.34) requires dynamic row bases of multi-row vector
+    # loads to be PROVABLY 8-aligned, and `scan * CSTRIDE` with
+    # CSTRIDE % 8 == 0 is; `scan * (OUT_R + 2)` is not. The pad rows stay
+    # sentinel-filled, so the rank-bound count below is unaffected.
+    CSTRIDE = -(-(OUT_R + 2) // 8) * 8
+    CROWS = SPB * CSTRIDE              # compact-buffer rows (per-scan)
     big = jnp.int32(SENTINEL)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
     # row WITHIN its scan (0..R-1 repeated SPB times) — free iota reshape.
@@ -291,7 +297,7 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
 
     # -- 3. concatenate rows' winners into the compact buffers --------------
     # (sentinel-fill pix/key first: expansion windows read past the tail;
-    # each scan owns rows [scan*(OUT_R+2), (scan+1)*(OUT_R+2)) )
+    # each scan owns rows [scan*CSTRIDE, (scan+1)*CSTRIDE) )
     cpix_ref[:] = jnp.full((CROWS, LANES), big)
     if not PACKED:
         ckey_ref[:] = jnp.full((CROWS, LANES), big)
@@ -299,7 +305,7 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
     def store_row(r, _):
         o = meta_ref[pl.ds(r, 1), :][0, 0]
         c = meta_ref[pl.ds(SR + r, 1), :][0, 0]
-        q = (r // R) * (OUT_R + 2) + o // LANES
+        q = (r // R) * CSTRIDE + o // LANES
         s = o % LANES
         mask = pltpu.roll(jnp.where(lane1 < c, 1, 0), s, 1)
         hi = (mask == 1) & (lane1 >= s)
@@ -319,8 +325,10 @@ def _ring_kernel(R: int, OUT_R: int, LANES: int, LOG_LANES: int,
 
     def gather_block(o, _):
         scan = o // OUT_R
-        base = scan * (OUT_R + 2)
-        seg = cpix_ref[pl.ds(base, OUT_R + 2), :]
+        base = scan * CSTRIDE
+        # Full padded region (aligned base AND 8-multiple size): the pad
+        # rows hold the sentinel, which never passes the `<` threshold.
+        seg = cpix_ref[pl.ds(base, CSTRIDE), :]
         lo = jnp.sum(jnp.where(
             seg < ((o - scan * OUT_R) * LANES) << pix_thresh_shift, 1, 0))
         q = base + lo // LANES
@@ -545,7 +553,7 @@ def project_batch_ring_pallas_planes(
     SPB = int(spb) if int(spb) > 1 and b % int(spb) == 0 else 1
     SR = SPB * R
     SOUT = SPB * OUT_R
-    CROWS = SPB * (OUT_R + 2)
+    CROWS = SPB * (-(-(OUT_R + 2) // 8) * 8)   # kernel's padded CSTRIDE
     nblk = b // SPB
 
     shape3 = (nblk, SR, LANES_)
