@@ -9,6 +9,7 @@ step-budget table. Optional overrides like bench_stem_ab:
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 import tempfile
@@ -24,7 +25,7 @@ from common import setup_state, stage_batches
 from deeplio_tpu.config import load_config_dict
 from deeplio_tpu.parallel import make_mesh
 from deeplio_tpu.train import build_train_step
-from xplane import bucket_ops, parse_trace
+from xplane import _TARGET_RE, bucket_ops, opcode_of, parse_trace
 
 BATCH = 16
 ITERS = 8
@@ -54,31 +55,58 @@ def main():
         state, m = train_step(state, batches[i % 3])
     print(f"warm, loss={float(jax.device_get(m['loss'])):.4f}", flush=True)
 
+    td = os.environ.get("DEEPLIO_PROFILE_DIR") or tempfile.mkdtemp(
+        prefix="deeplio_prof_")
     t0 = time.time()
-    with tempfile.TemporaryDirectory() as td:
-        with jax.profiler.trace(td):
-            for i in range(ITERS):
-                state, m = train_step(state, batches[i % 3])
-            float(jax.device_get(m["loss"]))
-        wall = (time.time() - t0) / ITERS
-        ops, modules = parse_trace(td)
+    with jax.profiler.trace(td):
+        for i in range(ITERS):
+            state, m = train_step(state, batches[i % 3])
+        float(jax.device_get(m["loss"]))
+    wall = (time.time() - t0) / ITERS
+    ops, modules = parse_trace(td)
+    print(f"trace kept at {td} (re-bucket offline with xplane.parse_trace)")
+    report(ops, modules, wall)
+
+
+def report(ops, modules, wall=None):
     dev = sum(modules.values()) / ITERS / 1e3
-    print(f"\nhost wall {wall * 1e3:.1f} ms/step, device wall {dev:.1f} ms")
+    if wall is not None:
+        print(f"\nhost wall {wall * 1e3:.1f} ms/step, device wall {dev:.1f} ms")
+    else:
+        print(f"\ndevice wall {dev:.1f} ms")
+    buckets = bucket_ops(ops)
     print("buckets (ms/step):")
-    for k, us in sorted(bucket_ops(ops).items(), key=lambda kv: -kv[1]):
-        print(f"  {k:16s} {us / ITERS / 1e3:7.2f}")
-    print("top ops (ms/step):")
-    for name, us in sorted(ops.items(), key=lambda kv: -kv[1])[:28]:
-        print(f"  {us / ITERS / 1e3:7.3f}  {name[:90]}")
-    # The pallas/custom-call bucket held ~9 ms of sub-cutoff ops at r3
-    # HEAD (19.9 total vs 10.7 for the ring kernel op) — enumerate that
-    # bucket exhaustively so its composition is never hidden again.
-    cc = {n: us for n, us in ops.items()
-          if "custom-call" in n.lower() or "tpu_custom_call" in n.lower()}
-    print(f"custom-call bucket: {len(cc)} ops, "
-          f"{sum(cc.values()) / ITERS / 1e3:.2f} ms/step")
-    for name, us in sorted(cc.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {us / ITERS / 1e3:7.3f}  {name[:160]}")
+    for k, us in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:24s} {us / ITERS / 1e3:7.2f}")
+    # Per-bucket top ops: the round-3 "9 ms custom-call residual" was an
+    # attribution artifact (fusions CONSUMING %custom-call operands were
+    # substring-matched into the kernel bucket); classification is now by
+    # parsed opcode, and every bucket is enumerable so composition is
+    # never hidden again.
+    per = {k: [] for k in buckets}
+    for name, us in ops.items():
+        op = opcode_of(name)
+        own = name.split(" = ", 1)[0].lower()
+        if op == "custom-call":
+            tgt = _TARGET_RE.search(name)
+            key = (f"custom-call:{tgt.group(1)}"
+                   if tgt and "tpu_custom_call" not in tgt.group(1)
+                   else "pallas-kernel")
+        elif op == "convolution" or "convolution" in own:
+            key = "conv"
+        elif op == "sort":
+            key = "sort"
+        elif op == "while":
+            key = "scan/rnn"
+        elif op in ("fusion", "copy", "transpose", "bitcast", "reshape"):
+            key = "fusion/layout"
+        else:
+            key = "other"
+        per[key].append((us, name))
+    for k in sorted(per, key=lambda k: -buckets[k]):
+        print(f"\n[{k}] top ops (ms/step):")
+        for us, name in sorted(per[k], reverse=True)[:12]:
+            print(f"  {us / ITERS / 1e3:7.3f}  {name[:120]}")
 
 
 if __name__ == "__main__":

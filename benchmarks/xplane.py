@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from collections import defaultdict
 from typing import Dict, Tuple
 
@@ -45,20 +46,49 @@ def parse_trace(trace_dir: str, device_substr: str = "TPU") -> Tuple[
     return dict(ops), dict(modules)
 
 
+_OPCODE_RE = re.compile(r"(?<![%\w.\-])([a-z][a-z0-9\-]*)\(")
+_TARGET_RE = re.compile(r'custom_call_target="([^"]*)"')
+
+
+def opcode_of(name: str) -> str:
+    """Parse the HLO opcode out of a full xplane event text.
+
+    Event names are full HLO lines, `%op.N = SHAPE opcode(operands), ...`.
+    The opcode is the first bare lowercase word directly followed by `(`
+    after the `=` — operand names are prefixed with `%`, and shape/layout
+    annotations like `T(8,128)` / `S(1)` start uppercase, so neither can
+    match. Substring matching on the whole line is WRONG: any fusion that
+    merely consumes a `%custom-call.N` operand would classify as a
+    custom-call (the round-3 "9 ms residual" was exactly this artifact).
+    """
+    _, eq, rhs = name.partition(" = ")
+    m = _OPCODE_RE.search(rhs if eq else name)
+    return m.group(1) if m else "unknown"
+
+
 def bucket_ops(ops: Dict[str, float]) -> Dict[str, float]:
-    """Group op-level durations into coarse pipeline components."""
+    """Group op-level durations into coarse pipeline components.
+
+    Classification is by parsed opcode + the op's own name (the text
+    before ` = `), never by operand text.
+    """
     buckets: Dict[str, float] = defaultdict(float)
     for name, us in ops.items():
-        n = name.lower()
-        if "custom-call" in n or "tpu_custom_call" in n:
-            buckets["pallas-kernel"] += us
-        elif "conv" in n:
+        op = opcode_of(name)
+        own = name.split(" = ", 1)[0].lower()
+        if op == "custom-call":
+            tgt = _TARGET_RE.search(name)
+            if tgt and "tpu_custom_call" not in tgt.group(1):
+                buckets[f"custom-call:{tgt.group(1)}"] += us
+            else:
+                buckets["pallas-kernel"] += us
+        elif op == "convolution" or "convolution" in own:
             buckets["conv"] += us
-        elif "sort" in n:
+        elif op == "sort":
             buckets["sort"] += us
-        elif "while" in n:
+        elif op == "while":
             buckets["scan/rnn"] += us
-        elif "fusion" in n or "copy" in n or "transpose" in n:
+        elif op in ("fusion", "copy", "transpose", "bitcast", "reshape"):
             buckets["fusion/layout"] += us
         else:
             buckets["other"] += us
