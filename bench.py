@@ -213,10 +213,14 @@ def main():
     jax.block_until_ready(state.params)
     _log("train state transferred to device")
 
-    # Optional steps-per-call A/B under the exact protocol (unset for
-    # driver runs unless adopted into the flagship): k optimizer steps per
-    # compiled program; each timed call consumes k distinct batches.
-    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "1")), 1)
+    # steps-per-call: k optimizer steps per compiled program, each timed
+    # call consuming k distinct batches (last-ulp-exact vs sequential
+    # steps — tests/distributed/test_shard_map.py). Default 2, ADOPTED from the
+    # round-4 on-chip A/B: spc1 3421.2 / spc2 3484.4 / spc4 3499.0
+    # pairs/s/chip — spc2 captures the ~1.3 ms/call relay dispatch gap;
+    # spc4's extra +0.4% is noise-level and repeats a staged batch within
+    # one call (N_BATCHES=3). Env override for A/Bs only.
+    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "2")), 1)
     if spc > 1:
         _log(f"steps-per-call: {spc}")
     train_step, _ = build_train_step(cfg, model, tx, mesh,
