@@ -174,6 +174,19 @@ def main():
             pass
         d["datasets"][k] = v
         _log(f"datasets override: {k} = {v!r}")
+    # Same mechanism for the optimizer section, e.g.
+    # DEEPLIO_BENCH_OPT="flat-update=true". Driver runs leave it unset.
+    for tok in os.environ.get("DEEPLIO_BENCH_OPT", "").split():
+        k, v = tok.split("=", 1)
+        if v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        else:
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        d["optimizer"][k] = v
+        _log(f"optimizer override: {k} = {v!r}")
     cfg = load_config_dict(d)
     _wait_for_backend()
     n_chips = len(jax.devices())
@@ -201,7 +214,8 @@ def main():
                                            axis_name="data", probe_width=64)
         _log("model params initialised on host CPU")
         state = create_train_state(variables, init_loss_params(cfg.loss), tx,
-                                   jax.random.PRNGKey(1))
+                                   jax.random.PRNGKey(1),
+                                   flat=cfg.optim.flat_update)
     jax.config.update("jax_compilation_cache_dir", old_dir)
 
     _log("probing device transfer (hangs here = wedged TPU relay) ...")

@@ -465,6 +465,16 @@ class OptimConfig:
     gamma: float = 0.5
     warmup_steps: int = 0
     grad_clip: float = 0.0     # 0 = off
+    # Run the optimizer update + apply over ONE raveled f32 vector instead
+    # of per-leaf pytree ops. Adam/SGD are elementwise, so the math is
+    # identical per element; the compiled program differs, so params agree
+    # to last-ulp f32 (tests/distributed/test_shard_map.py). The payoff is
+    # XLA emitting a couple of large fused kernels instead of ~a hundred
+    # small per-leaf (w, m, v) tuple fusions (~2.5 ms/step at flagship
+    # scale — docs/performance.md round-4 profile). Caveat: with
+    # grad-clip > 0 the global norm reduces over one vector instead of
+    # per-leaf partial sums, shifting the result by float rounding order.
+    flat_update: bool = False
     # plateau scheduler (torch ReduceLROnPlateau semantics, applied at
     # validation time by the trainer): reduce lr by gamma after `patience`
     # validations without improvement; never below min_lr.
@@ -488,6 +498,7 @@ class OptimConfig:
             gamma=float(_get(sched, "gamma", 0.5)),
             warmup_steps=int(_get(sched, "warmup-steps", 0)),
             grad_clip=float(_get(d, "grad-clip", 0.0)),
+            flat_update=bool(_get(d, "flat-update", False)),
             patience=int(_get(sched, "patience", 3)),
             min_lr=float(_get(sched, "min-lr", 0.0)),
             threshold=float(_get(sched, "threshold", 1e-4)),

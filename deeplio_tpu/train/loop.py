@@ -148,7 +148,8 @@ class Trainer:
 
         state = create_train_state(
             variables, init_loss_params(cfg.loss), self.tx,
-            jax.random.PRNGKey(cfg.train.seed + 1))
+            jax.random.PRNGKey(cfg.train.seed + 1),
+            flat=cfg.optim.flat_update)
         self.state = replicate(self.mesh, state)
 
         self.spc = max(int(cfg.train.steps_per_call), 1)

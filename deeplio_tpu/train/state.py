@@ -34,11 +34,34 @@ class TrainState:
         return {"model": self.params, "loss": self.loss_params}
 
 
+def ravel_trainables(trainables):
+    """Ravel the trainables pytree into one vector for the flat-update
+    optimizer path (optimizer.flat-update), guarding the dtype-uniformity
+    precondition: ``jax.flatten_util.ravel_pytree`` silently upcasts mixed
+    dtypes to a common one (and casts back on unravel), which would round
+    leaf values — far beyond the flat path's last-ulp-f32 contract."""
+    import jax.flatten_util
+
+    dtypes = {leaf.dtype for leaf in jax.tree.leaves(trainables)}
+    if len(dtypes) > 1:
+        raise ValueError(
+            "optimizer.flat-update requires all trainable leaves to share "
+            f"one dtype (found {sorted(str(d) for d in dtypes)}); the "
+            "raveled vector would silently cast and round")
+    return jax.flatten_util.ravel_pytree(trainables)
+
+
 def create_train_state(variables, loss_params, tx: optax.GradientTransformation,
-                       rng: jax.Array) -> TrainState:
+                       rng: jax.Array, flat: bool = False) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = tx.init({"model": params, "loss": loss_params})
+    trainables = {"model": params, "loss": loss_params}
+    if flat:
+        # Moments live as single raveled vectors; the step's flat path
+        # (train/step.py) updates them with one fused kernel per moment.
+        opt_state = tx.init(ravel_trainables(trainables)[0])
+    else:
+        opt_state = tx.init(trainables)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -146,8 +146,24 @@ def build_train_step(
             state.trainables, state.batch_stats, raw, sub)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
-        updates, new_opt = tx.update(grads, state.opt_state, state.trainables)
-        new_trainables = optax.apply_updates(state.trainables, updates)
+        if cfg.optim.flat_update:
+            # One raveled vector for update + apply: Adam's moment math and
+            # the `w + u` apply are elementwise, so the math is identical
+            # per element to the per-leaf path (params agree to last-ulp
+            # f32 — shifted fusion rounding, tests/distributed/
+            # test_shard_map.py) while XLA emits a few large contiguous
+            # fusions instead of ~a hundred per-leaf (w, m, v) tuple
+            # fusions (docs/performance.md round-4 profile). The opt_state
+            # was created flat (state.create_train_state).
+            from deeplio_tpu.train.state import ravel_trainables
+            flat_g, _ = ravel_trainables(grads)
+            flat_t, unravel = ravel_trainables(state.trainables)
+            flat_u, new_opt = tx.update(flat_g, state.opt_state, flat_t)
+            new_trainables = unravel(flat_t + flat_u)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.trainables)
+            new_trainables = optax.apply_updates(state.trainables, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1,
