@@ -111,3 +111,29 @@ class TestSchedules:
         assert not ctl.enabled
         sentinel = object()
         assert ctl.observe(1.0, sentinel) is sentinel
+
+
+class TestFlatUpdate:
+    def test_plateau_rewrite_reaches_flat_opt_state(self):
+        """optimizer.flat-update stores the opt_state for a raveled
+        vector; the plateau controller's injected-lr rewrite must still
+        find the hyperparam leaf inside it and change the update size
+        (train/optim.py::_set_injected_lr recurses NamedTuple states)."""
+        from deeplio_tpu.train.state import ravel_trainables
+
+        cfg = _plateau_cfg(flat_update=True)
+        tx = make_optimizer(cfg)
+        params = {"a": jnp.ones(4), "b": jnp.ones((2, 3))}
+        flat, unravel = ravel_trainables(params)
+        opt_state = tx.init(flat)
+        assert _injected_lr(opt_state) == pytest.approx(1e-3)
+
+        grads = jnp.full_like(flat, 0.5)
+        up_before, _ = tx.update(grads, opt_state, flat)
+        s1 = _set_injected_lr(tx.init(flat), 1e-6)
+        up_after, _ = tx.update(grads, s1, flat)
+        assert float(optax.global_norm(up_after)) < \
+            float(optax.global_norm(up_before)) * 1e-2
+        # unravel restores the leaf structure for apply
+        tree = unravel(up_before)
+        assert tree["a"].shape == (4,) and tree["b"].shape == (2, 3)
