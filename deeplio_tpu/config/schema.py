@@ -154,6 +154,12 @@ class DatasetConfig:
     # drives per split (train seeds 0.., val seeds 100.., test seeds 200..)
     synthetic_train_drives: int = 2
     synthetic_eval_drives: int = 1
+    # world geometry placement: "origin" = fixed 60 m-radius blob around
+    # the start pose (the historical fixture; drives longer than ~128
+    # frames exit it and scans go EMPTY — physically blind stretches);
+    # "corridor" = ground+pillars generated along the whole trajectory so
+    # arbitrarily long drives stay in populated geometry.
+    synthetic_world: str = "origin"
     # SemanticKITTI-format per-point segmentation labels for PointSeg
     # pretraining: <labels-path>/<drive-name>/<frame>.label (uint32 per
     # point, low 16 bits = semantic id). Empty = geometric pseudo-labels.
@@ -247,6 +253,7 @@ class DatasetConfig:
             synthetic_eval_frames=int(_get(d, "synthetic-eval-frames", 0)),
             synthetic_train_drives=int(_get(d, "synthetic-train-drives", 2)),
             synthetic_eval_drives=int(_get(d, "synthetic-eval-drives", 1)),
+            synthetic_world=str(_get(d, "synthetic-world", "origin")),
             labels_path=str(_get(d, "labels-path", "")),
             label_map={int(k): int(v)
                        for k, v in (_get(d, "label-map", {}) or {}).items()},

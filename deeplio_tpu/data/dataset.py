@@ -176,7 +176,8 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
         if split != "train" and ds.synthetic_eval_frames:
             n_frames = ds.synthetic_eval_frames
         return [SyntheticDrive(n_frames=n_frames,
-                               max_points=ds.projection.max_points, seed=sd)
+                               max_points=ds.projection.max_points, seed=sd,
+                               world_mode=ds.synthetic_world)
                 for sd in seeds]
     split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
     drives: List[Drive] = []

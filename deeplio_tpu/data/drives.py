@@ -209,12 +209,22 @@ class SyntheticDrive(Drive):
     """
 
     def __init__(self, n_frames: int = 64, max_points: int = 16384,
-                 seed: int = 0, world_points: int = 30000, name: str = "synth"):
+                 seed: int = 0, world_points: int = 30000, name: str = "synth",
+                 world_mode: str = "origin"):
         self.max_points = max_points
         self.seed = seed
         self.name = f"{name}_{seed}"
-        self._world = syn.synthetic_world(world_points, seed=seed)
         self._Ts, self._times = syn.synthetic_trajectory(n_frames, seed=seed)
+        if world_mode == "origin":
+            self._world = syn.synthetic_world(world_points, seed=seed)
+        elif world_mode == "corridor":
+            # trajectory-following world: long drives stay populated
+            # (synthetic.py::synthetic_world_corridor rationale)
+            self._world = syn.synthetic_world_corridor(self._Ts, seed=seed)
+        else:
+            raise ValueError(
+                f"unknown synthetic world mode {world_mode!r} "
+                "(expected 'origin' or 'corridor')")
         self._oxts = syn.synthetic_oxts(self._Ts, self._times, seed=seed)
         # Loader-equivalent poses: recompute from the OXTS records through
         # the same mercator path as the real loader (drive-local origin).

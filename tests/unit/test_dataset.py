@@ -115,3 +115,50 @@ def test_synthetic_eval_frames_lengthens_heldout_drives(cfg):
     assert len(build_drives(c, "test")[0]) == 96
     # 0 (the default) means eval drives match the train length.
     assert len(build_drives(cfg, "test")[0]) == cfg.datasets.synthetic_frames
+
+
+class TestCorridorWorld:
+    """Round-4 fixture fix: the fixed-origin world blinds drives past
+    ~100 m (measured 0/16384 valid points from frame ~150 of a 512-frame
+    drive), which silently degraded the long-drive accuracy fixture into
+    dead reckoning. The corridor world must keep EVERY frame populated."""
+
+    def test_long_drive_stays_sighted(self):
+        d = SyntheticDrive(n_frames=256, max_points=4096, seed=200,
+                           world_mode="corridor")
+        for i in range(0, 256, 32):
+            _, valid = d.points(i)
+            assert valid.mean() > 0.5, (i, valid.mean())
+
+    def test_origin_mode_goes_blind(self):
+        # Regression documentation of the original failure: origin mode
+        # sees nothing far from the start. If this ever starts passing,
+        # the origin world changed and goldens must be re-examined.
+        d = SyntheticDrive(n_frames=256, max_points=4096, seed=200,
+                           world_mode="origin")
+        _, valid = d.points(255)
+        assert valid.sum() == 0
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError):
+            SyntheticDrive(n_frames=8, world_mode="donut")
+
+    def test_config_threading(self):
+        raw = yaml.safe_load(open(CFG))
+        raw["datasets"]["synthetic-world"] = "corridor"
+        raw["datasets"]["synthetic-frames"] = 8
+        import tempfile, os
+        with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                         delete=False) as f:
+            yaml.safe_dump(raw, f)
+        try:
+            cfg2 = load_config(f.name)
+            assert cfg2.datasets.synthetic_world == "corridor"
+            drives = __import__(
+                "deeplio_tpu.data.dataset", fromlist=["build_drives"]
+            ).build_drives(cfg2, "train")
+            # corridor drives are deterministic in (trajectory, seed)
+            _, valid = drives[0].points(7)
+            assert valid.any()
+        finally:
+            os.unlink(f.name)
