@@ -106,6 +106,15 @@ class ProjectionConfig:
     # (on raises for infeasible shapes). Config-exposed so the flagship
     # can pin the last on-chip-validated route while A/Bs run.
     kernel_packed: str = "auto"
+    # pallas-ring only: the SLOT-ALIGNED direct route
+    # (ops/projection.py::project_batch_ring_aligned_planes) — when the
+    # scan is a fixed ring/azimuth grid (the synthetic fixtures; real
+    # scans binned to the grid), projection collapses to a windowed min
+    # in pure XLA, no Mosaic kernel at all. "auto"/"on" guard it with a
+    # runtime alignment predicate + lax.cond fallback to the kernel
+    # (bit-exact for any input; on raises for infeasible shapes);
+    # "trust" skips the predicate (contract asserted); "off" = kernel.
+    kernel_aligned: str = "off"
 
     @property
     def fov_rad(self) -> float:
@@ -217,11 +226,16 @@ class DatasetConfig:
             chunk=int(_get(d, "projection-chunk", 16)),
             kernel_spb=int(_get(d, "kernel-spb", 1)),
             kernel_packed=str(_get(d, "kernel-packed", "auto")),
+            kernel_aligned=str(_get(d, "kernel-aligned", "off")),
         )
         if proj.kernel_packed not in ("auto", "on", "off"):
             raise ConfigError(
                 f"kernel-packed must be auto|on|off, got "
                 f"{proj.kernel_packed!r}")
+        if proj.kernel_aligned not in ("auto", "on", "off", "trust"):
+            raise ConfigError(
+                f"kernel-aligned must be auto|on|off|trust, got "
+                f"{proj.kernel_aligned!r}")
         combos = tuple(tuple(int(i) for i in c)
                        for c in (_get(d, "combinations", None) or ()))
         seq = int(_get(d, "sequence-size", 2))

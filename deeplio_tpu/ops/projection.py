@@ -278,7 +278,7 @@ def project_batch(
     if packed:
         x, y = _unpack_f16x2(ch_c[0])
         z, rem = _unpack_f16x2(ch_c[1])
-        depth = (key_c & rq_max).astype(jnp.float32) / jnp.float32(rq_scale)
+        depth = _rq_to_depth(key_c & rq_max, rq_scale)
         img = jnp.stack([x, y, z, rem, depth], -1) * mask[..., None]
     else:
         img = jnp.stack(ch_c, -1) * mask[..., None]
@@ -293,6 +293,18 @@ def _pad_cols(width: int, *arrays):
     if m >= width:
         return arrays
     return tuple(jnp.pad(a, ((0, 0), (0, width - m))) for a in arrays)
+
+
+def _rq_to_depth(rq: jax.Array, rq_scale: float) -> jax.Array:
+    """Quantized range key -> metres. MULTIPLY by the f32 reciprocal,
+    never divide: XLA rewrites fp division-by-constant into reciprocal
+    multiplies inside large fusions but not in eager/small graphs, so a
+    divide here is 1-ulp unstable ACROSS COMPILATION REGIMES (measured:
+    1427/100 differs between the eager ring path and the same math
+    compiled inside the aligned route's lax.cond). The multiply is one
+    exact-rounded op in every regime, keeping all projection
+    backends/routes bit-identical to each other."""
+    return rq.astype(jnp.float32) * jnp.float32(1.0 / rq_scale)
 
 
 def _idx_key_layout(n: int, n_pix: int) -> Tuple[int, int, float]:
@@ -395,7 +407,7 @@ def project_batch_sorted(
     if payload == "carry-f16":
         x, y = _unpack_f16x2(ech[0])
         z, rem = _unpack_f16x2(ech[1])
-        depth = (ekey & rq_max).astype(jnp.float32) / jnp.float32(rq_scale)
+        depth = _rq_to_depth(ekey & rq_max, rq_scale)
     else:
         x, y, z, rem = ech
         depth = jnp.sqrt(x * x + y * y + z * z)
@@ -553,7 +565,7 @@ def project_batch_ring(
     if payload == "carry-f16":
         x, y = _unpack_f16x2(ech[0])
         z, rem = _unpack_f16x2(ech[1])
-        depth = (ekey >> idx_bits).astype(jnp.float32) / jnp.float32(rq_scale)
+        depth = _rq_to_depth(ekey >> idx_bits, rq_scale)
     else:
         x, y, z, rem = ech
         depth = jnp.sqrt(x * x + y * y + z * z)
@@ -575,6 +587,127 @@ def check_ring_order(points: np.ndarray, valid: np.ndarray, H: int, W: int,
     vv = np.clip(np.floor((1.0 - (pitch - fov_down) / fov) * H), 0, H - 1)
     pix = (vv * W + uu)[np.asarray(valid, bool) & (r > 1e-6)]
     return bool(np.all(np.diff(pix) >= 0))
+
+
+def aligned_route_feasible(n: int, H: int, W: int) -> bool:
+    """Static shape gate for :func:`project_batch_ring_aligned_planes`:
+    the scan capacity must be a whole number of slots per pixel."""
+    n_pix = H * W
+    return n_pix > 0 and n % n_pix == 0 and n // n_pix >= 1
+
+
+def _slot_pixel(n: int, H: int, W: int) -> jax.Array:
+    """Pixel id each slot of an aligned ring grid belongs to: slot s of a
+    [H rings x W*SPP azimuth-slots] row-major grid covers pixel
+    (s // (W*SPP)) * W + (s % (W*SPP)) // SPP."""
+    spp = n // (H * W)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    return (slot // (W * spp)) * W + (slot % (W * spp)) // spp
+
+
+def project_batch_ring_aligned_planes(
+    x: jax.Array,
+    y: jax.Array,
+    z: jax.Array,
+    rem: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+    check: str = "cond",
+    fallback=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """SLOT-ALIGNED direct projection — no scan, no sort, no routing.
+
+    Contract (stronger than :func:`project_batch_ring`'s monotone order):
+    the scan is a fixed ring/azimuth GRID of n = H*W*SPP slots, row-major
+    by ring, and every VALID point's pixel equals its slot's pixel
+    (v == ring row, u == azimuth_slot // SPP). Under that contract the
+    candidates of pixel p are exactly its SPP consecutive slots, so the
+    winner is a plain windowed min of the (rq << idx_bits | idx) key —
+    a handful of fused XLA elementwise rounds instead of the Mosaic
+    kernel's ~170 roll rounds (the whole placement problem is solved by
+    the data layout). Invalid slots carry losing keys (rq_max), so
+    dropped returns / padding need no special casing: an all-invalid
+    pixel's "winner" keeps rq_max and is masked out, bit-identical to the
+    ring paths' empty-pixel handling.
+
+    The contract holds exactly for the synthetic ring fixture
+    (data/synthetic.py::synthetic_ring_batch — u = floor(slot/SPP) for
+    every jitter draw) and for any loader that bins real scans to the
+    azimuth grid. ``check`` selects what happens elsewhere:
+
+      * "cond" (default): an O(N) alignment predicate is computed and
+        ``lax.cond`` dispatches to ``fallback`` (a (x,y,z,rem,valid) ->
+        (img5, mask) fn, REQUIRED) whenever any valid point is off its
+        slot pixel — exact for arbitrary inputs.
+      * "assert-off": trust the contract, skip the predicate (saves one
+        fused pass). Misaligned valid points land at their SLOT's pixel
+        instead of their true pixel — same degradation class as
+        project_batch_ring's backward-jump rule, never corrupting.
+
+    Output contract identical to ``project_batch_ring(payload="carry-f16")``
+    / the Mosaic kernel: channels round-trip f16, depth comes from the
+    quantized range key.
+    """
+    b, n = x.shape[0], x.shape[1]
+    n_pix = H * W
+    if not aligned_route_feasible(n, H, W):
+        raise ValueError(
+            f"aligned ring route needs n % (H*W) == 0, got n={n}, "
+            f"H*W={n_pix}")
+    spp = n // n_pix
+    if check not in ("cond", "assert-off"):
+        raise ValueError(f"check must be cond|assert-off, got {check!r}")
+    if check == "cond" and fallback is None:
+        raise ValueError("check='cond' requires a fallback projector")
+    idx_bits, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
+    rq_max = (1 << rq_bits) - 1
+
+    def direct(x, y, z, rem, valid, r):
+        ok = valid & (r > 1e-6)
+        rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+        rqv = jnp.where(ok, rq, rq_max)
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        wk = (rqv << idx_bits) | idx
+        wp1 = _pack_f16x2(x, y)
+        wp2 = _pack_f16x2(z, rem)
+        # windowed min: after the doubling rounds, slot s holds the min
+        # over [s, s + 2^t) — group starts (s = p*SPP <= n - SPP) never
+        # read wrapped lanes.
+        d = 1
+        while d < spp:
+            sk = jnp.roll(wk, -d, axis=-1)
+            take = sk < wk
+            wk = jnp.where(take, sk, wk)
+            wp1 = jnp.where(take, jnp.roll(wp1, -d, axis=-1), wp1)
+            wp2 = jnp.where(take, jnp.roll(wp2, -d, axis=-1), wp2)
+            d *= 2
+        wk = wk[:, ::spp]
+        rq_out = wk >> idx_bits
+        maskf = (rq_out < rq_max).astype(jnp.float32)
+        # zero losing payloads: garbage bits at invalid slots unpack to
+        # f16 NaN which the mask multiply (0 * NaN) cannot remove.
+        live = rq_out < rq_max
+        xw, yw = _unpack_f16x2(jnp.where(live, wp1[:, ::spp], 0))
+        zw, rw = _unpack_f16x2(jnp.where(live, wp2[:, ::spp], 0))
+        depth = _rq_to_depth(rq_out, rq_scale)
+        img = jnp.stack([xw, yw, zw, rw, depth], -1) * maskf[..., None]
+        return img.reshape(b, H, W, 5), maskf.reshape(b, H, W)
+
+    u, v, r = spherical_uv_planes(x, y, z, H, W, fov_up_deg, fov_down_deg)
+    if check == "assert-off":
+        return direct(x, y, z, rem, valid, r)
+
+    ok = valid & (r > 1e-6)
+    aligned = jnp.all(jnp.where(ok, v * W + u == _slot_pixel(n, H, W)[None],
+                                True))
+    return jax.lax.cond(
+        aligned,
+        lambda ops: direct(*ops),
+        lambda ops: fallback(*ops[:5]),
+        (x, y, z, rem, valid, r))
 
 
 def project_scan(
@@ -684,8 +817,26 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     chunk = int(getattr(cfg_proj, "chunk", 0) or 0)
     kernel_spb = int(getattr(cfg_proj, "kernel_spb", 1) or 1)
     kernel_packed = str(getattr(cfg_proj, "kernel_packed", "auto") or "auto")
+    kernel_aligned = str(getattr(cfg_proj, "kernel_aligned", "off") or "off")
     if layout not in ("aos", "planes"):
         raise ValueError(f"layout must be aos|planes, got {layout!r}")
+    if kernel_aligned not in ("auto", "on", "off", "trust"):
+        # A typo silently disabling the route would void every A/B.
+        raise ValueError(
+            f"kernel-aligned must be auto|on|off|trust, got {kernel_aligned!r}")
+
+    def _aligned_check_mode(n: int):
+        """None = use the scan/kernel path; else the `check` arg for the
+        direct slot-aligned route (pure XLA — live on every jax backend)."""
+        if kernel_aligned == "off":
+            return None
+        if not aligned_route_feasible(n, H, W):
+            if kernel_aligned in ("on", "trust"):
+                raise ValueError(
+                    f"kernel-aligned={kernel_aligned} infeasible: scan "
+                    f"capacity {n} is not a multiple of H*W={H * W}")
+            return None  # auto: shape can't satisfy the slot contract
+        return "assert-off" if kernel_aligned == "trust" else "cond"
 
     if bool(mean) != bool(std):
         raise ValueError("normalization requires both mean and std (or neither)")
@@ -704,9 +855,25 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
             from deeplio_tpu.ops.projection_pallas import project_batch_pallas
             img5, mask = project_batch_pallas(pts, vld, H, W, fu, fd)
         elif backend == "pallas-ring":
-            if jax.default_backend() != "tpu":
-                # Mosaic kernels need a TPU; CPU/GPU runs (tests, local
-                # dev) fall back to the bit-identical XLA ring path.
+            def _ring_fb(fx, fy, fz, fr, fv):
+                fpts = jnp.stack((fx, fy, fz, fr), axis=-1)
+                if jax.default_backend() != "tpu":
+                    # Mosaic kernels need a TPU; CPU/GPU runs (tests,
+                    # local dev) use the bit-identical XLA ring path.
+                    return project_batch_ring(fpts, fv, H, W, fu, fd,
+                                              payload="carry-f16")
+                from deeplio_tpu.ops.projection_pallas_ring import (
+                    project_batch_ring_pallas)
+                return project_batch_ring_pallas(
+                    fpts, fv, H, W, fu, fd, spb=kernel_spb,
+                    packed_route=kernel_packed)
+
+            amode = _aligned_check_mode(pts.shape[-2])
+            if amode is not None:
+                img5, mask = project_batch_ring_aligned_planes(
+                    pts[..., 0], pts[..., 1], pts[..., 2], pts[..., 3],
+                    vld, H, W, fu, fd, check=amode, fallback=_ring_fb)
+            elif jax.default_backend() != "tpu":
                 img5, mask = project_batch_ring(pts, vld, H, W, fu, fd,
                                                 payload="carry-f16")
             else:
@@ -740,9 +907,19 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
         from deeplio_tpu.ops.projection_pallas_ring import (
             project_batch_ring_pallas_planes)
         x, y, z, rem = planes
-        img5, mask = project_batch_ring_pallas_planes(
-            x, y, z, rem, vld, H, W, fu, fd, spb=kernel_spb,
-            packed_route=kernel_packed)
+
+        def _planes_fb(fx, fy, fz, fr, fv):
+            return project_batch_ring_pallas_planes(
+                fx, fy, fz, fr, fv, H, W, fu, fd, spb=kernel_spb,
+                packed_route=kernel_packed)
+
+        amode = _aligned_check_mode(x.shape[-1])
+        if amode is not None:
+            img5, mask = project_batch_ring_aligned_planes(
+                x, y, z, rem, vld, H, W, fu, fd, check=amode,
+                fallback=_planes_fb)
+        else:
+            img5, mask = _planes_fb(x, y, z, rem, vld)
         img = assemble_channels(img5, mask, channels)
         img = normalize_channels(img, mask, mean, std)
         if out_dtype is not None:

@@ -36,6 +36,7 @@ from deeplio_tpu.ops.projection import (
     DEFAULT_RQ_BITS,
     _pack_f16x2,
     _rq_bits_for,
+    _rq_to_depth,
     _unpack_f16x2,
     spherical_uv,
 )
@@ -152,7 +153,7 @@ def project_batch_pallas(
         mask = (kflat != 2**31 - 1).astype(jnp.float32)
         x, y = _unpack_f16x2(xyo.reshape(n_pix))
         z, rem = _unpack_f16x2(zro.reshape(n_pix))
-        depth = (kflat & rq_max).astype(jnp.float32) / jnp.float32(rq_scale)
+        depth = _rq_to_depth(kflat & rq_max, rq_scale)
         img = jnp.stack([x, y, z, rem, depth], -1) * mask[:, None]
         return img.reshape(H, W, 5), mask.reshape(H, W)
 

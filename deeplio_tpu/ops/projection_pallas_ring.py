@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from deeplio_tpu.ops.projection import (
     _idx_key_layout,
     _pack_f16x2,
+    _rq_to_depth,
     _unpack_f16x2,
     spherical_uv_planes,
 )
@@ -595,6 +596,6 @@ def project_batch_ring_pallas_planes(
     maskf = jnp.logical_and(okey != SENTINEL, rq_ok).astype(jnp.float32)
     x, y = _unpack_f16x2(op1.reshape(b, n_pix))
     z, rem = _unpack_f16x2(op2.reshape(b, n_pix))
-    depth = rq_out.astype(jnp.float32) / jnp.float32(rq_scale)
+    depth = _rq_to_depth(rq_out, rq_scale)
     img = jnp.stack([x, y, z, rem, depth], -1) * maskf[..., None]
     return img.reshape(b, H, W, 5), maskf.reshape(b, H, W)

@@ -38,6 +38,33 @@ def test_ring_kernel_lowers_for_tpu(packed_route, spb):
     assert exp.platforms == ("tpu",)
 
 
+@pytest.mark.parametrize("mode", ["on", "trust"])
+def test_aligned_route_lowers_for_tpu(mode):
+    """The slot-aligned direct route is pure XLA, but its cond fallback
+    branch CONTAINS the Mosaic kernel — the whole dispatch (predicate +
+    both branches) must lower for TPU."""
+    # make_projector picks the XLA twin off-TPU; lower the route the TPU
+    # dispatch takes by exporting the aligned entry with the pallas
+    # fallback directly.
+    from deeplio_tpu.ops.projection import project_batch_ring_aligned_planes
+
+    pts = jnp.zeros((B, 2 * H * W, 4), jnp.float32)
+    valid = jnp.ones((B, 2 * H * W), bool)
+
+    def f(pts, valid):
+        x, y, z, rem = (pts[..., i] for i in range(4))
+        if mode == "trust":
+            return project_batch_ring_aligned_planes(
+                x, y, z, rem, valid, H, W, FU, FD, check="assert-off")
+        return project_batch_ring_aligned_planes(
+            x, y, z, rem, valid, H, W, FU, FD, check="cond",
+            fallback=lambda fx, fy, fz, fr, fv: ppr.project_batch_ring_pallas(
+                jnp.stack((fx, fy, fz, fr), -1), fv, H, W, FU, FD))
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(pts, valid)
+    assert exp.platforms == ("tpu",)
+
+
 @pytest.mark.slow
 def test_driver_entry_lowers_for_tpu():
     """The driver compile-checks ``__graft_entry__.entry()`` on the real
