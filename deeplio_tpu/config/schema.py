@@ -151,6 +151,16 @@ class DatasetConfig:
     max_imu_per_pair: int = 16
     # device-side training augmentation: random global yaw per window
     augment_yaw: bool = False
+    # host-side slot binning of REAL scans onto the fixed ring/azimuth
+    # grid the aligned projection route needs (data/synthetic.py::
+    # slot_bin_scan): each pixel keeps its best max_points/(H*W)
+    # candidates, winner first. Pixel assignment uses the host (numpy)
+    # trig — the reference's own projection semantics — which differs
+    # from the device prologue by ulps on boundary points, so pair this
+    # with kernel-aligned=trust (the runtime predicate of auto/on
+    # recomputes pixels on device and would fall back on most real
+    # scans). Synthetic drives are grid-aligned already and ignore it.
+    slot_bin: bool = False
     # synthetic fixture mode for CI / benches without KITTI on disk
     synthetic: bool = False
     synthetic_frames: int = 64
@@ -236,6 +246,23 @@ class DatasetConfig:
             raise ConfigError(
                 f"kernel-aligned must be auto|on|off|trust, got "
                 f"{proj.kernel_aligned!r}")
+        if bool(_get(d, "slot-bin", False)) and (
+                proj.max_points % (proj.height * proj.width)):
+            raise ConfigError(
+                f"slot-bin needs max-points ({proj.max_points}) to be a "
+                f"multiple of H*W ({proj.height * proj.width})")
+        if (proj.kernel_aligned == "trust"
+                and not bool(_get(d, "synthetic", False))
+                and not bool(_get(d, "slot-bin", False))):
+            # trust skips the runtime alignment predicate, so the GRID
+            # contract must hold by CONSTRUCTION of the data pipeline:
+            # synthetic ring drives or host slot binning. Raw real scans
+            # would silently project points at their slot's pixel.
+            raise ConfigError(
+                "kernel-aligned=trust requires grid-aligned data by "
+                "construction: set datasets.synthetic or datasets.slot-bin "
+                "(or use kernel-aligned=auto, which keeps the runtime "
+                "predicate)")
         combos = tuple(tuple(int(i) for i in c)
                        for c in (_get(d, "combinations", None) or ()))
         seq = int(_get(d, "sequence-size", 2))
@@ -262,6 +289,7 @@ class DatasetConfig:
             std=tuple(float(x) for x in (_get(d, "std", []) or [])),
             max_imu_per_pair=int(_get(d, "max-imu-per-pair", 16)),
             augment_yaw=bool(_get(d, "augment-yaw", False)),
+            slot_bin=bool(_get(d, "slot-bin", False)),
             synthetic=bool(_get(d, "synthetic", False)),
             synthetic_frames=int(_get(d, "synthetic-frames", 64)),
             synthetic_eval_frames=int(_get(d, "synthetic-eval-frames", 0)),

@@ -180,6 +180,10 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
                                world_mode=ds.synthetic_world)
                 for sd in seeds]
     split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
+    slot_grid = None
+    if getattr(ds, "slot_bin", False):
+        slot_grid = (ds.projection.height, ds.projection.width,
+                     ds.projection.fov_up_deg, ds.projection.fov_down_deg)
     drives: List[Drive] = []
     for date, ids in split_map[split].items():
         for drive in ids:
@@ -189,10 +193,12 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
                     ds.root_path, date, int(drive["drive"]),
                     max_points=ds.projection.max_points,
                     start=int(drive.get("start", 0)),
-                    end=int(drive.get("end", -1))))
+                    end=int(drive.get("end", -1)),
+                    slot_grid=slot_grid))
             else:
                 drives.append(KittiRawDrive(ds.root_path, date, int(drive),
-                                            max_points=ds.projection.max_points))
+                                            max_points=ds.projection.max_points,
+                                            slot_grid=slot_grid))
     return drives
 
 

@@ -64,11 +64,19 @@ class KittiRawDrive(Drive):
     _WX, _WY, _WZ = 17, 18, 19     # body-frame angular rates
 
     def __init__(self, root: str, date: str, drive: int, max_points: int = 131072,
-                 start: int = 0, end: int = -1):
+                 start: int = 0, end: int = -1, slot_grid=None):
         self.root = root
         self.date = date
         self.drive = drive
         self.max_points = max_points
+        # (H, W, fov_up_deg, fov_down_deg) or None: bin scans onto the
+        # fixed ring/azimuth grid for the slot-aligned projection route
+        # (data/synthetic.py::slot_bin_scan; datasets `slot-bin: true`).
+        self.slot_grid = slot_grid
+        if slot_grid is not None and max_points % (slot_grid[0] * slot_grid[1]):
+            raise ValueError(
+                f"slot_grid {slot_grid[:2]} needs max_points ({max_points}) "
+                f"to be a multiple of H*W")
         base = os.path.join(root, date, f"{date}_drive_{drive:04d}_sync")
         self.velo_dir = os.path.join(base, "velodyne_points", "data")
         self.oxts_dir = os.path.join(base, "oxts", "data")
@@ -148,6 +156,12 @@ class KittiRawDrive(Drive):
         raw = np.fromfile(
             os.path.join(self.velo_dir, f"{self.start + i:010d}.bin"),
             dtype=np.float32).reshape(-1, 4)
+        if self.slot_grid is not None:
+            from deeplio_tpu.data.synthetic import slot_bin_scan
+
+            H, W, fu, fd = self.slot_grid
+            return slot_bin_scan(raw, np.ones(raw.shape[0], bool), H, W,
+                                 self.max_points // (H * W), fu, fd)
         n = min(raw.shape[0], self.max_points)
         pts = np.zeros((self.max_points, 4), np.float32)
         pts[:n] = raw[:n]
@@ -164,6 +178,12 @@ class KittiRawDrive(Drive):
         SemanticKITTI file contract). Returns None when the file is absent
         (caller falls back to pseudo-labels).
         """
+        if self.slot_grid is not None:
+            # slot binning permutes/drops points; per-point label files
+            # index the RAW order and would silently misalign.
+            raise ValueError(
+                "per-point labels are incompatible with slot-bin "
+                "(points are re-ordered onto the slot grid)")
         path = os.path.join(labels_path, self.name,
                             f"{self.start + i:010d}.label")
         if not os.path.exists(path):

@@ -289,6 +289,70 @@ def ring_order(xyz: np.ndarray, rings: int, fov_up_deg: float = 3.0,
     return np.lexsort((u_frac, v))
 
 
+def slot_bin_scan(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
+                  spp: int, fov_up_deg: float = 3.0,
+                  fov_down_deg: float = -25.0
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Bin a real scan onto the fixed [H rings x W*spp azimuth-slots] grid
+    the SLOT-ALIGNED projection route consumes (ops/projection.py::
+    project_batch_ring_aligned_planes).
+
+    Each pixel keeps its ``spp`` best candidates by (quantized range,
+    original index) — the sequential oracle's winner rule — placed BEST
+    FIRST in the pixel's slots, so the downstream windowed min recovers
+    exactly the oracle's winner (including quantized-range ties). Points
+    beyond ``spp`` per pixel can never win (a kept same-pixel point beats
+    them) and are dropped; empty slots come back invalid and lose every
+    contest via their rq_max keys.
+
+    Pixel assignment runs in host float32 with the oracle's formulas —
+    the REFERENCE's own projection semantics (its numpy DataLoader
+    workers). Device trig differs by ulps on pixel-boundary points, so a
+    binned real scan should run with ``kernel-aligned: trust`` (the
+    auto/on predicate recomputes pixels on device and falls back whenever
+    any boundary point flips). Returns ([H*W*spp, 4] f32, [H*W*spp] bool).
+    """
+    from deeplio_tpu.ops.projection import _idx_key_layout
+
+    n_pix = H * W
+    cap = n_pix * spp
+    x = pts[:, 0].astype(np.float32)
+    y = pts[:, 1].astype(np.float32)
+    z = pts[:, 2].astype(np.float32)
+    r = np.sqrt(x * x + y * y + z * z)
+    ok = np.asarray(valid, bool) & (r > 1e-6)
+    yaw = np.arctan2(y, x)
+    pitch = np.arcsin(np.clip(z / np.maximum(r, np.float32(1e-9)), -1, 1))
+    fov_down = np.float32(np.deg2rad(fov_down_deg))
+    fov = np.float32(np.deg2rad(fov_up_deg - fov_down_deg))
+    u = np.clip(np.floor(0.5 * (1.0 - yaw / np.float32(np.pi)) * W),
+                0, W - 1).astype(np.int64)
+    v = np.clip(np.floor((1.0 - (pitch - fov_down) / fov) * H),
+                0, H - 1).astype(np.int64)
+    pix = v * W + u
+    _, _, rq_scale = _idx_key_layout(cap, n_pix)
+    rq = (r * np.float32(rq_scale)).astype(np.int64)
+
+    sel = np.flatnonzero(ok)
+    # oracle order within a pixel: quantized range, then original index
+    # (np.lexsort: last key is primary; sel is already index-ascending so
+    # the sort's stability supplies the index tie-break).
+    order = sel[np.lexsort((rq[sel], pix[sel]))]
+    p_sorted = pix[order]
+    first = np.concatenate([[True], p_sorted[1:] != p_sorted[:-1]])
+    starts = np.flatnonzero(first)
+    rank = np.arange(len(order)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(order)]])))
+    keep = rank < spp
+    slot = p_sorted[keep] * spp + rank[keep]
+
+    out = np.zeros((cap, 4), np.float32)
+    out_valid = np.zeros(cap, bool)
+    out[slot] = pts[order[keep], :4]
+    out_valid[slot] = True
+    return out, out_valid
+
+
 def synthetic_ring_batch(rng: np.ndarray, batch: int, n_points: int,
                          rings: int = 64, fov_up_deg: float = 3.0,
                          fov_down_deg: float = -25.0) -> np.ndarray:

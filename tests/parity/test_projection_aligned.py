@@ -164,3 +164,51 @@ def test_make_projector_knob():
                          kernel_aligned="on"), chans)
     with pytest.raises(ValueError, match="infeasible"):
         on_fn(short, vshort)
+
+
+def test_slot_bin_matches_oracle():
+    """Binning an ARBITRARY-ORDER scan onto the slot grid + the direct
+    route reproduces the sequential numpy oracle's projection of the
+    original scan (the reference's host-numpy semantics): same winners
+    incl. quantized-range ties, dropped per-pixel losers never win."""
+    from deeplio_tpu.data.synthetic import slot_bin_scan
+
+    rng = np.random.default_rng(7)
+    n_raw = 3 * H * W  # more candidates than slots -> real drops
+    pts, _ = _ring_cloud(7, b=1, n=n_raw)
+    pts = np.asarray(pts[0])
+    perm = rng.permutation(n_raw)
+    pts = pts[perm]                      # destroy ring order entirely
+    valid = rng.uniform(size=n_raw) >= 0.2
+
+    spp = 2
+    binned, bvalid = slot_bin_scan(pts, valid, H, W, spp, FU, FD)
+    assert binned.shape == (H * W * spp, 4) and bvalid.shape == (H * W * spp,)
+    jb, jv = jnp.asarray(binned)[None], jnp.asarray(bvalid)[None]
+    ia, ma = proj.project_batch_ring_aligned_planes(
+        jb[..., 0], jb[..., 1], jb[..., 2], jb[..., 3], jv,
+        H, W, FU, FD, check="assert-off")
+    io, mo = proj.project_scan_np(pts, valid, H, W, FU, FD,
+                                  key_layout="index")
+    np.testing.assert_array_equal(np.asarray(ma[0]), mo)
+    np.testing.assert_allclose(np.asarray(ia[0, ..., :4]), io[..., :4],
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(ia[0, ..., 4]), io[..., 4],
+                               atol=0.05)
+
+
+def test_slot_bin_drive_wiring():
+    """datasets `slot-bin: true` threads through build_drives into
+    KittiRawDrive; binned scans come back grid-shaped, and per-point
+    labels are refused (they index the raw order)."""
+    from deeplio_tpu.data.drives import KittiRawDrive
+
+    d = KittiRawDrive.__new__(KittiRawDrive)
+    d.max_points = 2 * H * W
+    d.slot_grid = (H, W, FU, FD)
+    with pytest.raises(ValueError, match="slot-bin"):
+        d.labels(0, "/nonexistent")
+    # constructor validation precedes any IO (no on-disk tree needed)
+    with pytest.raises(ValueError, match="multiple"):
+        KittiRawDrive("/nonexistent", "2011_09_26", 1,
+                      max_points=2 * H * W - 1, slot_grid=(H, W, FU, FD))

@@ -123,3 +123,28 @@ def test_bad_fusion_raises():
                 "deeplio": {"fusion-net": {"type": "medium"}},
             }
         )
+
+
+def test_kernel_aligned_validation():
+    with pytest.raises(ConfigError):
+        load_config_dict({"arch": "deepio",
+                          "datasets": {"kernel-aligned": "bogus"}})
+    # trust requires grid-aligned-by-construction data
+    with pytest.raises(ConfigError):
+        load_config_dict({"arch": "deepio",
+                          "datasets": {"kernel-aligned": "trust"}})
+    cfg = load_config_dict({
+        "arch": "deepio",
+        "datasets": {"kernel-aligned": "trust", "synthetic": True}})
+    assert cfg.datasets.projection.kernel_aligned == "trust"
+    cfg = load_config_dict({
+        "arch": "deepio",
+        "datasets": {"kernel-aligned": "trust", "slot-bin": True}})
+    assert cfg.datasets.slot_bin
+
+
+def test_slot_bin_shape_validation():
+    with pytest.raises(ConfigError):
+        load_config_dict({"arch": "deepio",
+                          "datasets": {"slot-bin": True,
+                                       "max-points": 100000}})
