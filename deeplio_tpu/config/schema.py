@@ -106,14 +106,18 @@ class ProjectionConfig:
     # (on raises for infeasible shapes). Config-exposed so the flagship
     # can pin the last on-chip-validated route while A/Bs run.
     kernel_packed: str = "auto"
-    # pallas-ring only: the SLOT-ALIGNED direct route
-    # (ops/projection.py::project_batch_ring_aligned_planes) — when the
-    # scan is a fixed ring/azimuth grid (the synthetic fixtures; real
-    # scans binned to the grid), projection collapses to a windowed min
-    # in pure XLA, no Mosaic kernel at all. "auto"/"on" guard it with a
-    # runtime alignment predicate + lax.cond fallback to the kernel
-    # (bit-exact for any input; on raises for infeasible shapes);
-    # "trust" skips the predicate (contract asserted); "off" = kernel.
+    # pallas-ring only: the SLOT-ALIGNED direct routes (ops/projection.py)
+    # — when the scan is a fixed ring/azimuth grid (the synthetic
+    # fixtures; real scans binned to the grid), projection collapses to a
+    # windowed min in pure XLA, no Mosaic kernel at all. "auto"/"on"
+    # guard it with a runtime alignment predicate + lax.cond fallback to
+    # the kernel (bit-exact for any input; on raises for infeasible
+    # shapes — but the cond dispatch costs ~6 ms/step at flagship
+    # operand sizes, see docs/performance.md); "trust" skips the
+    # predicate (grid contract asserted by construction); "halves"
+    # additionally expects the dual-half plane layout
+    # (halves_permutation) and pays NO strided slices or f16 packing —
+    # exact f32 payloads, the fastest route; "off" = kernel.
     kernel_aligned: str = "off"
 
     @property
@@ -242,27 +246,38 @@ class DatasetConfig:
             raise ConfigError(
                 f"kernel-packed must be auto|on|off, got "
                 f"{proj.kernel_packed!r}")
-        if proj.kernel_aligned not in ("auto", "on", "off", "trust"):
+        if proj.kernel_aligned not in ("auto", "on", "off", "trust",
+                                       "halves"):
             raise ConfigError(
-                f"kernel-aligned must be auto|on|off|trust, got "
+                f"kernel-aligned must be auto|on|off|trust|halves, got "
                 f"{proj.kernel_aligned!r}")
         if bool(_get(d, "slot-bin", False)) and (
                 proj.max_points % (proj.height * proj.width)):
             raise ConfigError(
                 f"slot-bin needs max-points ({proj.max_points}) to be a "
                 f"multiple of H*W ({proj.height * proj.width})")
-        if (proj.kernel_aligned == "trust"
-                and not bool(_get(d, "synthetic", False))
-                and not bool(_get(d, "slot-bin", False))):
-            # trust skips the runtime alignment predicate, so the GRID
-            # contract must hold by CONSTRUCTION of the data pipeline:
-            # synthetic ring drives or host slot binning. Raw real scans
-            # would silently project points at their slot's pixel.
-            raise ConfigError(
-                "kernel-aligned=trust requires grid-aligned data by "
-                "construction: set datasets.synthetic or datasets.slot-bin "
-                "(or use kernel-aligned=auto, which keeps the runtime "
-                "predicate)")
+        if proj.kernel_aligned in ("trust", "halves"):
+            # trust/halves skip the runtime alignment predicate, so the
+            # GRID contract must hold by CONSTRUCTION of the data
+            # pipeline: synthetic ring drives or host slot binning. Raw
+            # real scans would silently project points at their slot's
+            # pixel.
+            if (not bool(_get(d, "synthetic", False))
+                    and not bool(_get(d, "slot-bin", False))):
+                raise ConfigError(
+                    f"kernel-aligned={proj.kernel_aligned} requires "
+                    "grid-aligned data by construction: set "
+                    "datasets.synthetic or datasets.slot-bin (or use "
+                    "kernel-aligned=auto, which keeps the runtime "
+                    "predicate)")
+            if bool(_get(d, "augment-yaw", False)):
+                # device-side yaw rotation moves points off their
+                # azimuth slots AFTER the host laid them out — the
+                # asserted grid contract would be silently false.
+                raise ConfigError(
+                    f"kernel-aligned={proj.kernel_aligned} is "
+                    "incompatible with augment-yaw (rotation breaks the "
+                    "slot grid); use kernel-aligned=auto or off")
         combos = tuple(tuple(int(i) for i in c)
                        for c in (_get(d, "combinations", None) or ()))
         seq = int(_get(d, "sequence-size", 2))

@@ -21,7 +21,8 @@ import numpy as np
 
 from deeplio_tpu.config.schema import Config, DatasetConfig
 from deeplio_tpu.data import np_spatial as nsp
-from deeplio_tpu.data.drives import Drive, KittiRawDrive, SyntheticDrive
+from deeplio_tpu.data.drives import (Drive, KittiRawDrive, PermutedDrive,
+                                     SyntheticDrive)
 
 
 # Keys collated FLAT ([B*S, ...] instead of [B, S, ...]): the train step
@@ -165,6 +166,20 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
     synthetic drives (hermetic CI / benches, SURVEY.md §4 item 2).
     """
     ds = cfg.datasets
+
+    def _layout(drives: List[Drive]) -> List[Drive]:
+        # kernel-aligned=halves: apply the dual-half slot permutation at
+        # the drive level so EVERY consumer (window dataset, streaming,
+        # projection cache) sees the layout the route expects.
+        if getattr(ds.projection, "kernel_aligned", "off") != "halves":
+            return drives
+        from deeplio_tpu.ops.projection import halves_permutation
+
+        perm = halves_permutation(ds.projection.max_points,
+                                  ds.projection.height,
+                                  ds.projection.width)
+        return [PermutedDrive(d, perm) for d in drives]
+
     if ds.synthetic:
         seeds = {
             "train": tuple(range(ds.synthetic_train_drives)),
@@ -175,10 +190,19 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
         n_frames = ds.synthetic_frames
         if split != "train" and ds.synthetic_eval_frames:
             n_frames = ds.synthetic_eval_frames
-        return [SyntheticDrive(n_frames=n_frames,
-                               max_points=ds.projection.max_points, seed=sd,
-                               world_mode=ds.synthetic_world)
-                for sd in seeds]
+        slot_grid = None
+        if (getattr(ds, "slot_bin", False)
+                or ds.projection.kernel_aligned in ("trust", "halves")):
+            # asserted aligned routes need the slot grid BY CONSTRUCTION;
+            # synthetic_scan emits compacted (non-grid) ring order.
+            slot_grid = (ds.projection.height, ds.projection.width,
+                         ds.projection.fov_up_deg,
+                         ds.projection.fov_down_deg)
+        return _layout([SyntheticDrive(n_frames=n_frames,
+                                       max_points=ds.projection.max_points,
+                                       seed=sd, world_mode=ds.synthetic_world,
+                                       slot_grid=slot_grid)
+                        for sd in seeds])
     split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
     slot_grid = None
     if getattr(ds, "slot_bin", False):
@@ -199,7 +223,7 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
                 drives.append(KittiRawDrive(ds.root_path, date, int(drive),
                                             max_points=ds.projection.max_points,
                                             slot_grid=slot_grid))
-    return drives
+    return _layout(drives)
 
 
 def build_dataset(cfg: Config, split: str, image_cache=None) -> WindowDataset:

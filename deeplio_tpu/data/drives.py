@@ -48,6 +48,40 @@ class Drive:
         raise NotImplementedError
 
 
+class PermutedDrive(Drive):
+    """View of a drive with a fixed per-scan point permutation applied —
+    the dual-half slot layout for ``kernel-aligned: halves``
+    (ops/projection.py::halves_permutation). Living at the DRIVE level
+    means every consumer (window dataset, streaming odometry, projection
+    cache) sees the same layout; per-point labels are refused because the
+    permutation breaks raw-order alignment."""
+
+    def __init__(self, inner: Drive, perm: np.ndarray):
+        self.inner = inner
+        self.perm = np.asarray(perm)
+        self.name = inner.name
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def points(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        p, v = self.inner.points(i)
+        return p[self.perm], v[self.perm]
+
+    def labels(self, i: int, labels_path: str):
+        raise ValueError("per-point labels are incompatible with the "
+                         "halves point layout (points are re-ordered)")
+
+    def frame_time(self, i: int) -> float:
+        return self.inner.frame_time(i)
+
+    def pose(self, i: int) -> np.ndarray:
+        return self.inner.pose(i)
+
+    def imu_between(self, t0: float, t1: float) -> np.ndarray:
+        return self.inner.imu_between(t0, t1)
+
+
 class KittiRawDrive(Drive):
     """One KITTI raw sync'd drive: ``<root>/<date>/<date>_drive_%04d_sync``.
 
@@ -230,9 +264,18 @@ class SyntheticDrive(Drive):
 
     def __init__(self, n_frames: int = 64, max_points: int = 16384,
                  seed: int = 0, world_points: int = 30000, name: str = "synth",
-                 world_mode: str = "origin"):
+                 world_mode: str = "origin", slot_grid=None):
         self.max_points = max_points
         self.seed = seed
+        # (H, W, fov_up_deg, fov_down_deg) or None — synthetic_scan emits
+        # COMPACTED ring-ordered scans (not a slot grid!), so asserted
+        # aligned routes (kernel-aligned trust/halves) need the same
+        # binning as real drives (build_drives sets this automatically).
+        self.slot_grid = slot_grid
+        if slot_grid is not None and max_points % (slot_grid[0] * slot_grid[1]):
+            raise ValueError(
+                f"slot_grid {slot_grid[:2]} needs max_points ({max_points}) "
+                f"to be a multiple of H*W")
         self.name = f"{name}_{seed}"
         self._Ts, self._times = syn.synthetic_trajectory(n_frames, seed=seed)
         if world_mode == "origin":
@@ -263,8 +306,14 @@ class SyntheticDrive(Drive):
 
     @lru_cache(maxsize=None)
     def _scan(self, i: int):
-        return syn.synthetic_scan(self._world, self._Ts[i], self.max_points,
-                                  seed=self.seed * 1000 + i)
+        pts, valid = syn.synthetic_scan(self._world, self._Ts[i],
+                                        self.max_points,
+                                        seed=self.seed * 1000 + i)
+        if self.slot_grid is not None:
+            H, W, fu, fd = self.slot_grid
+            return syn.slot_bin_scan(pts, valid, H, W,
+                                     self.max_points // (H * W), fu, fd)
+        return pts, valid
 
     def points(self, i: int):
         return self._scan(i)

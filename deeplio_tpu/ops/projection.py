@@ -710,6 +710,85 @@ def project_batch_ring_aligned_planes(
         (x, y, z, rem, valid, r))
 
 
+def halves_permutation(n: int, H: int, W: int) -> np.ndarray:
+    """HOST-side permutation taking an interleaved slot-aligned scan to the
+    dual-half layout :func:`project_batch_ring_halves_planes` consumes:
+    slot s (pixel s//spp, residue s%spp) moves to position
+    (s % spp) * n_pix + s // spp — all residue-0 candidates first, then
+    residue-1, ... Each residue block is pixel-major, so the device-side
+    contest reads CONTIGUOUS [B, n_pix] blocks (no strided lane slices,
+    which XLA lowers as transpose fusions — measured 2.2 ms/step at the
+    flagship). Returns idx such that new_plane = plane[idx]."""
+    spp = n // (H * W)
+    s = np.arange(n, dtype=np.int64)
+    inv = (s % spp) * (H * W) + s // spp
+    out = np.empty(n, np.int64)
+    out[inv] = s
+    return out
+
+
+def project_batch_ring_halves_planes(
+    x: jax.Array,
+    y: jax.Array,
+    z: jax.Array,
+    rem: jax.Array,
+    valid: jax.Array,
+    H: int,
+    W: int,
+    fov_up_deg: float,
+    fov_down_deg: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Slot-aligned projection over DUAL-HALF planes — the fastest route.
+
+    Data contract (:func:`halves_permutation` on top of the slot grid):
+    plane position r*n_pix + p holds pixel p's residue-r candidate. The
+    per-pixel contest is then a fold over spp CONTIGUOUS [B, n_pix]
+    blocks: pure elementwise min/select, no scan, no routing, no strided
+    slices, no f16 packing — and therefore EXACT f32 payloads with depth
+    = the winner's true range, i.e. ``project_batch_ring(payload="carry")``
+    output semantics (the winner itself is still picked by the quantized
+    (range, earlier-candidate) key rule all backends share).
+
+    There is no runtime predicate (the permutation destroys the ring
+    order a fallback would need): config gates this route to data that is
+    grid-aligned BY CONSTRUCTION, like kernel-aligned=trust.
+    """
+    b, n = x.shape[0], x.shape[1]
+    n_pix = H * W
+    if not aligned_route_feasible(n, H, W):
+        raise ValueError(
+            f"halves ring route needs n % (H*W) == 0, got n={n}, "
+            f"H*W={n_pix}")
+    spp = n // n_pix
+    _, rq_bits, rq_scale = _idx_key_layout(n, n_pix)
+    rq_max = (1 << rq_bits) - 1
+
+    r = jnp.sqrt(x * x + y * y + z * z)
+    ok = valid & (r > 1e-6)
+    rq = jnp.clip((r * rq_scale).astype(jnp.int32), 0, rq_max - 1)
+    rqv = jnp.where(ok, rq, rq_max)
+
+    def blk(a, i):
+        return a[:, i * n_pix:(i + 1) * n_pix]
+
+    wk = blk(rqv, 0)
+    wx, wy, wz, wrem, wr = (blk(a, 0) for a in (x, y, z, rem, r))
+    wok = blk(ok, 0)
+    for i in range(1, spp):
+        ki = blk(rqv, i)
+        take = ki < wk  # strict: earlier residue = smaller original
+        wk = jnp.where(take, ki, wk)  # index, wins quantized-range ties
+        wx = jnp.where(take, blk(x, i), wx)
+        wy = jnp.where(take, blk(y, i), wy)
+        wz = jnp.where(take, blk(z, i), wz)
+        wrem = jnp.where(take, blk(rem, i), wrem)
+        wr = jnp.where(take, blk(r, i), wr)
+        wok = jnp.where(take, blk(ok, i), wok)
+    maskf = wok.astype(jnp.float32)
+    img = jnp.stack([wx, wy, wz, wrem, wr], -1) * maskf[..., None]
+    return img.reshape(b, H, W, 5), maskf.reshape(b, H, W)
+
+
 def project_scan(
     points: jax.Array,
     valid: jax.Array,
@@ -820,22 +899,25 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
     kernel_aligned = str(getattr(cfg_proj, "kernel_aligned", "off") or "off")
     if layout not in ("aos", "planes"):
         raise ValueError(f"layout must be aos|planes, got {layout!r}")
-    if kernel_aligned not in ("auto", "on", "off", "trust"):
+    if kernel_aligned not in ("auto", "on", "off", "trust", "halves"):
         # A typo silently disabling the route would void every A/B.
-        raise ValueError(
-            f"kernel-aligned must be auto|on|off|trust, got {kernel_aligned!r}")
+        raise ValueError(f"kernel-aligned must be auto|on|off|trust|halves, "
+                         f"got {kernel_aligned!r}")
 
     def _aligned_check_mode(n: int):
-        """None = use the scan/kernel path; else the `check` arg for the
-        direct slot-aligned route (pure XLA — live on every jax backend)."""
+        """None = use the scan/kernel path; "halves" = the dual-half
+        contiguous route; else the `check` arg for the interleaved direct
+        route (all pure XLA — live on every jax backend)."""
         if kernel_aligned == "off":
             return None
         if not aligned_route_feasible(n, H, W):
-            if kernel_aligned in ("on", "trust"):
+            if kernel_aligned in ("on", "trust", "halves"):
                 raise ValueError(
                     f"kernel-aligned={kernel_aligned} infeasible: scan "
                     f"capacity {n} is not a multiple of H*W={H * W}")
             return None  # auto: shape can't satisfy the slot contract
+        if kernel_aligned == "halves":
+            return "halves"
         return "assert-off" if kernel_aligned == "trust" else "cond"
 
     if bool(mean) != bool(std):
@@ -869,7 +951,11 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
                     packed_route=kernel_packed)
 
             amode = _aligned_check_mode(pts.shape[-2])
-            if amode is not None:
+            if amode == "halves":
+                img5, mask = project_batch_ring_halves_planes(
+                    pts[..., 0], pts[..., 1], pts[..., 2], pts[..., 3],
+                    vld, H, W, fu, fd)
+            elif amode is not None:
                 img5, mask = project_batch_ring_aligned_planes(
                     pts[..., 0], pts[..., 1], pts[..., 2], pts[..., 3],
                     vld, H, W, fu, fd, check=amode, fallback=_ring_fb)
@@ -914,7 +1000,10 @@ def make_projector(cfg_proj: ProjectionConfig, channels: Sequence[str],
                 packed_route=kernel_packed)
 
         amode = _aligned_check_mode(x.shape[-1])
-        if amode is not None:
+        if amode == "halves":
+            img5, mask = project_batch_ring_halves_planes(
+                x, y, z, rem, vld, H, W, fu, fd)
+        elif amode is not None:
             img5, mask = project_batch_ring_aligned_planes(
                 x, y, z, rem, vld, H, W, fu, fd, check=amode,
                 fallback=_planes_fb)

@@ -212,3 +212,107 @@ def test_slot_bin_drive_wiring():
     with pytest.raises(ValueError, match="multiple"):
         KittiRawDrive("/nonexistent", "2011_09_26", 1,
                       max_points=2 * H * W - 1, slot_grid=(H, W, FU, FD))
+
+
+# --------------------------------------------------------------------------
+# dual-half layout route (kernel-aligned=halves)
+# --------------------------------------------------------------------------
+
+def _to_halves(a, n=N2):
+    idx = proj.halves_permutation(n, H, W)
+    return a[:, idx]
+
+
+@pytest.mark.parametrize("n,invalid_frac", [(N2, 0.0), (N2, 0.3), (N1, 0.2)])
+def test_halves_matches_xla_ring_carry(n, invalid_frac):
+    """The halves route carries EXACT f32 payloads + exact winner range —
+    project_batch_ring(payload="carry") semantics, bit-for-bit."""
+    pts, valid = _ring_cloud(10, n=n, invalid_frac=invalid_frac)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry")
+    idx = proj.halves_permutation(n, H, W)
+    hp = pts[:, idx]
+    hv = valid[:, idx]
+    ia, ma = proj.project_batch_ring_halves_planes(
+        hp[..., 0], hp[..., 1], hp[..., 2], hp[..., 3], hv, H, W, FU, FD)
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ix))
+
+
+def test_halves_matches_numpy_oracle_exactly():
+    """Exact payloads mean the oracle comparison needs NO f16 tolerance."""
+    pts, valid = _ring_cloud(11, b=1)
+    idx = proj.halves_permutation(N2, H, W)
+    hp, hv = pts[:, idx], valid[:, idx]
+    ia, ma = proj.project_batch_ring_halves_planes(
+        hp[..., 0], hp[..., 1], hp[..., 2], hp[..., 3], hv, H, W, FU, FD)
+    io, mo = proj.project_scan_np(np.asarray(pts[0]), np.asarray(valid[0]),
+                                  H, W, FU, FD, key_layout="index")
+    np.testing.assert_array_equal(np.asarray(ma[0]), mo)
+    np.testing.assert_array_equal(np.asarray(ia[0]), io)
+
+
+def test_halves_knob_and_drive_layout():
+    """kernel-aligned=halves through make_projector equals the exact-f32
+    ring dispatch on interleaved data; build_drives wraps drives in
+    PermutedDrive so every consumer gets the layout."""
+    from deeplio_tpu.config import load_config_dict
+    from deeplio_tpu.config.schema import ProjectionConfig
+    from deeplio_tpu.data.dataset import build_drives
+    from deeplio_tpu.data.drives import PermutedDrive
+
+    pts, valid = _ring_cloud(12)
+    chans = ("x", "y", "z", "remission", "depth")
+    ref = proj.make_projector(
+        ProjectionConfig(height=H, width=W, fov_up_deg=FU, fov_down_deg=FD,
+                         max_points=N2, backend="ring", packed=False),
+        chans)(pts, valid)
+    got = proj.make_projector(
+        ProjectionConfig(height=H, width=W, fov_up_deg=FU, fov_down_deg=FD,
+                         max_points=N2, backend="pallas-ring", packed=True,
+                         kernel_aligned="halves"),
+        chans)(_to_halves(pts), _to_halves(valid))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+    cfg = load_config_dict({
+        "arch": "deeplo",
+        "datasets": {"synthetic": True, "kernel-aligned": "halves",
+                     "backend": "pallas-ring", "image-height": H,
+                     "image-width": W, "max-points": N2},
+        "deeplo": {"lidar-feat-net": {"name": "lidar-feat-simple-0"},
+                   "odom-feat-net": {"name": "odom-feat-fc"}}})
+    drives = build_drives(cfg, "train")
+    assert all(isinstance(d, PermutedDrive) for d in drives)
+    with pytest.raises(ValueError, match="halves"):
+        drives[0].labels(0, "/nonexistent")
+    # round-trip: drive points come back in halves layout — projecting
+    # them through the halves route equals the ring path on the inner
+    # drive's interleaved points.
+    hp, hv = drives[0].points(0)
+    ip, iv = drives[0].inner.points(0)
+    ia, ma = proj.project_batch_ring_halves_planes(
+        jnp.asarray(hp[None, :, 0]), jnp.asarray(hp[None, :, 1]),
+        jnp.asarray(hp[None, :, 2]), jnp.asarray(hp[None, :, 3]),
+        jnp.asarray(hv[None]), H, W, FU, FD)
+    ix, mx = proj.project_batch_ring(jnp.asarray(ip[None]),
+                                     jnp.asarray(iv[None]), H, W, FU, FD,
+                                     payload="carry")
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mx))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ix))
+
+
+def test_halves_config_gates():
+    from deeplio_tpu.config import ConfigError, load_config_dict
+
+    base = {"arch": "deepio", "datasets": {"kernel-aligned": "halves"}}
+    with pytest.raises(ConfigError, match="grid-aligned"):
+        load_config_dict(base)
+    base["datasets"]["synthetic"] = True
+    load_config_dict(base)
+    base["datasets"]["augment-yaw"] = True
+    with pytest.raises(ConfigError, match="augment-yaw"):
+        load_config_dict(base)
+    base["datasets"].update({"kernel-aligned": "trust"})
+    with pytest.raises(ConfigError, match="augment-yaw"):
+        load_config_dict(base)

@@ -38,7 +38,7 @@ def test_ring_kernel_lowers_for_tpu(packed_route, spb):
     assert exp.platforms == ("tpu",)
 
 
-@pytest.mark.parametrize("mode", ["on", "trust"])
+@pytest.mark.parametrize("mode", ["on", "trust", "halves"])
 def test_aligned_route_lowers_for_tpu(mode):
     """The slot-aligned direct route is pure XLA, but its cond fallback
     branch CONTAINS the Mosaic kernel — the whole dispatch (predicate +
@@ -53,6 +53,12 @@ def test_aligned_route_lowers_for_tpu(mode):
 
     def f(pts, valid):
         x, y, z, rem = (pts[..., i] for i in range(4))
+        if mode == "halves":
+            from deeplio_tpu.ops.projection import (
+                project_batch_ring_halves_planes)
+
+            return project_batch_ring_halves_planes(
+                x, y, z, rem, valid, H, W, FU, FD)
         if mode == "trust":
             return project_batch_ring_aligned_planes(
                 x, y, z, rem, valid, H, W, FU, FD, check="assert-off")
