@@ -184,8 +184,11 @@ def main():
             try:
                 v = int(v)
             except ValueError:
-                pass
-        d["optimizer"][k] = v
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+        d.setdefault("optimizer", {})[k] = v
         _log(f"optimizer override: {k} = {v!r}")
     cfg = load_config_dict(d)
     _wait_for_backend()

@@ -167,18 +167,32 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
     """
     ds = cfg.datasets
 
+    halves = getattr(ds.projection, "kernel_aligned", "off") == "halves"
+    slot_layout = "halves" if halves else "slots"
+
     def _layout(drives: List[Drive]) -> List[Drive]:
-        # kernel-aligned=halves: apply the dual-half slot permutation at
-        # the drive level so EVERY consumer (window dataset, streaming,
+        # kernel-aligned=halves: slot-binned drives emit the dual-half
+        # layout STRAIGHT from the binning pass (slot_layout above — no
+        # per-access permutation gather, and the drive's scan cache holds
+        # the final layout); a drive without a slot grid gets the explicit
+        # PermutedDrive view, so EVERY consumer (window dataset, streaming,
         # projection cache) sees the layout the route expects.
-        if getattr(ds.projection, "kernel_aligned", "off") != "halves":
+        if not halves:
             return drives
         from deeplio_tpu.ops.projection import halves_permutation
 
-        perm = halves_permutation(ds.projection.max_points,
-                                  ds.projection.height,
-                                  ds.projection.width)
-        return [PermutedDrive(d, perm) for d in drives]
+        perm = None
+        out = []
+        for d in drives:
+            if getattr(d, "slot_grid", None) is not None:
+                out.append(d)  # binned straight into halves layout
+                continue
+            if perm is None:
+                perm = halves_permutation(ds.projection.max_points,
+                                          ds.projection.height,
+                                          ds.projection.width)
+            out.append(PermutedDrive(d, perm))
+        return out
 
     if ds.synthetic:
         seeds = {
@@ -201,7 +215,8 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
         return _layout([SyntheticDrive(n_frames=n_frames,
                                        max_points=ds.projection.max_points,
                                        seed=sd, world_mode=ds.synthetic_world,
-                                       slot_grid=slot_grid)
+                                       slot_grid=slot_grid,
+                                       slot_layout=slot_layout)
                         for sd in seeds])
     split_map = {"train": ds.train, "validation": ds.validation, "test": ds.test}
     slot_grid = None
@@ -218,11 +233,12 @@ def build_drives(cfg: Config, split: str) -> List[Drive]:
                     max_points=ds.projection.max_points,
                     start=int(drive.get("start", 0)),
                     end=int(drive.get("end", -1)),
-                    slot_grid=slot_grid))
+                    slot_grid=slot_grid, slot_layout=slot_layout))
             else:
                 drives.append(KittiRawDrive(ds.root_path, date, int(drive),
                                             max_points=ds.projection.max_points,
-                                            slot_grid=slot_grid))
+                                            slot_grid=slot_grid,
+                                            slot_layout=slot_layout))
     return _layout(drives)
 
 

@@ -98,7 +98,8 @@ class KittiRawDrive(Drive):
     _WX, _WY, _WZ = 17, 18, 19     # body-frame angular rates
 
     def __init__(self, root: str, date: str, drive: int, max_points: int = 131072,
-                 start: int = 0, end: int = -1, slot_grid=None):
+                 start: int = 0, end: int = -1, slot_grid=None,
+                 slot_layout: str = "slots"):
         self.root = root
         self.date = date
         self.drive = drive
@@ -106,7 +107,11 @@ class KittiRawDrive(Drive):
         # (H, W, fov_up_deg, fov_down_deg) or None: bin scans onto the
         # fixed ring/azimuth grid for the slot-aligned projection route
         # (data/synthetic.py::slot_bin_scan; datasets `slot-bin: true`).
+        # slot_layout "halves" bins STRAIGHT into the dual-half layout
+        # kernel-aligned=halves consumes — fused into the binning pass, so
+        # no separate halves_permutation gather is ever paid per access.
         self.slot_grid = slot_grid
+        self.slot_layout = slot_layout
         if slot_grid is not None and max_points % (slot_grid[0] * slot_grid[1]):
             raise ValueError(
                 f"slot_grid {slot_grid[:2]} needs max_points ({max_points}) "
@@ -195,7 +200,8 @@ class KittiRawDrive(Drive):
 
             H, W, fu, fd = self.slot_grid
             return slot_bin_scan(raw, np.ones(raw.shape[0], bool), H, W,
-                                 self.max_points // (H * W), fu, fd)
+                                 self.max_points // (H * W), fu, fd,
+                                 layout=self.slot_layout)
         n = min(raw.shape[0], self.max_points)
         pts = np.zeros((self.max_points, 4), np.float32)
         pts[:n] = raw[:n]
@@ -264,9 +270,11 @@ class SyntheticDrive(Drive):
 
     def __init__(self, n_frames: int = 64, max_points: int = 16384,
                  seed: int = 0, world_points: int = 30000, name: str = "synth",
-                 world_mode: str = "origin", slot_grid=None):
+                 world_mode: str = "origin", slot_grid=None,
+                 slot_layout: str = "slots"):
         self.max_points = max_points
         self.seed = seed
+        self.slot_layout = slot_layout
         # (H, W, fov_up_deg, fov_down_deg) or None — synthetic_scan emits
         # COMPACTED ring-ordered scans (not a slot grid!), so asserted
         # aligned routes (kernel-aligned trust/halves) need the same
@@ -312,11 +320,22 @@ class SyntheticDrive(Drive):
         if self.slot_grid is not None:
             H, W, fu, fd = self.slot_grid
             return syn.slot_bin_scan(pts, valid, H, W,
-                                     self.max_points // (H * W), fu, fd)
+                                     self.max_points // (H * W), fu, fd,
+                                     layout=self.slot_layout)
         return pts, valid
 
     def points(self, i: int):
         return self._scan(i)
+
+    def labels(self, i: int, labels_path: str):
+        """Interface parity with KittiRawDrive: slot binning re-orders
+        points, so per-point label files are refused; otherwise None
+        (synthetic drives have no label files — pseudo-label path)."""
+        if self.slot_grid is not None:
+            raise ValueError(
+                "per-point labels are incompatible with slot-bin "
+                "(points are re-ordered onto the slot grid)")
+        return None
 
     def frame_time(self, i: int) -> float:
         return float(self._times[i])

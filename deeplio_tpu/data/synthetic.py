@@ -291,11 +291,63 @@ def ring_order(xyz: np.ndarray, rings: int, fov_up_deg: float = 3.0,
 
 def slot_bin_scan(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
                   spp: int, fov_up_deg: float = 3.0,
-                  fov_down_deg: float = -25.0
+                  fov_down_deg: float = -25.0, layout: str = "slots",
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Bin a real scan onto the fixed [H rings x W*spp azimuth-slots] grid
-    the SLOT-ALIGNED projection route consumes (ops/projection.py::
-    project_batch_ring_aligned_planes).
+    the SLOT-ALIGNED projection routes consume (ops/projection.py::
+    project_batch_ring_aligned_planes / project_batch_ring_halves_planes).
+
+    Dispatches to the native C++ op (deeplio_tpu/native, GIL-released,
+    ~7x the numpy path on one core and thread-scalable across loader
+    workers) when a toolchain is available; falls back to
+    :func:`slot_bin_scan_np` (the semantics oracle) otherwise or under
+    DEEPLIO_NATIVE=0. The native path's yaw/pitch transcendentals may
+    differ from numpy's by a few ulp (measured zero pixel flips over 4M
+    points; same caveat class as device trig — see native/slot_bin_trig
+    .cpp); all arithmetic feeding integer decisions is bit-exact.
+
+    ``layout``: "slots" (pixel-major: position = pix*spp + rank) or
+    "halves" (dual-half: position = rank*n_pix + pix — the layout
+    kernel-aligned=halves consumes, fused here so no separate
+    halves_permutation gather is ever paid).
+    """
+    native = None
+    if layout not in ("slots", "halves"):
+        raise ValueError(f"layout must be slots|halves, got {layout!r}")
+    from deeplio_tpu import native as native_mod
+
+    native = native_mod.lib()
+    if native is None:
+        return slot_bin_scan_np(pts, valid, H, W, spp, fov_up_deg,
+                                fov_down_deg, layout)
+    import ctypes
+
+    from deeplio_tpu.ops.projection import _idx_key_layout
+
+    n_pix = H * W
+    cap = n_pix * spp
+    _, rq_bits, rq_scale = _idx_key_layout(cap, n_pix)
+    pts4 = np.ascontiguousarray(pts[:, :4], np.float32)
+    vld = np.ascontiguousarray(np.asarray(valid, bool).view(np.uint8))
+    out = np.empty((cap, 4), np.float32)
+    out_valid = np.empty(cap, np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    native.dlt_slot_bin_scan(
+        pts4.ctypes.data_as(f32p), vld.ctypes.data_as(u8p),
+        pts4.shape[0], H, W, spp, float(fov_up_deg), float(fov_down_deg),
+        float(rq_scale), (1 << rq_bits) - 2,
+        1 if layout == "halves" else 0,
+        out.ctypes.data_as(f32p), out_valid.ctypes.data_as(u8p))
+    return out, out_valid.view(bool)
+
+
+def slot_bin_scan_np(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
+                     spp: int, fov_up_deg: float = 3.0,
+                     fov_down_deg: float = -25.0, layout: str = "slots",
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy slot binning — the semantics ORACLE for the native op and the
+    fallback when no C++ toolchain exists.
 
     Each pixel keeps its ``spp`` best candidates by (quantized range,
     original index) — the sequential oracle's winner rule — placed BEST
@@ -308,12 +360,15 @@ def slot_bin_scan(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
     Pixel assignment runs in host float32 with the oracle's formulas —
     the REFERENCE's own projection semantics (its numpy DataLoader
     workers). Device trig differs by ulps on pixel-boundary points, so a
-    binned real scan should run with ``kernel-aligned: trust`` (the
-    auto/on predicate recomputes pixels on device and falls back whenever
-    any boundary point flips). Returns ([H*W*spp, 4] f32, [H*W*spp] bool).
+    binned real scan should run with ``kernel-aligned: trust``/``halves``
+    (the auto/on predicate recomputes pixels on device and falls back
+    whenever any boundary point flips). Returns ([H*W*spp, 4] f32,
+    [H*W*spp] bool), in ``layout`` order (see :func:`slot_bin_scan`).
     """
     from deeplio_tpu.ops.projection import _idx_key_layout
 
+    if layout not in ("slots", "halves"):
+        raise ValueError(f"layout must be slots|halves, got {layout!r}")
     n_pix = H * W
     cap = n_pix * spp
     x = pts[:, 0].astype(np.float32)
@@ -330,8 +385,14 @@ def slot_bin_scan(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
     v = np.clip(np.floor((1.0 - (pitch - fov_down) / fov) * H),
                 0, H - 1).astype(np.int64)
     pix = v * W + u
-    _, _, rq_scale = _idx_key_layout(cap, n_pix)
-    rq = (r * np.float32(rq_scale)).astype(np.int64)
+    _, rq_bits, rq_scale = _idx_key_layout(cap, n_pix)
+    # clip to the device key ceiling (rq_max - 1, rq_max marks invalid):
+    # the aligned route and project_scan_np compare CLIPPED keys, so
+    # beyond-ceiling ranges must tie here too or the kept/ordered set can
+    # differ from the oracle's first-index tie rule (latent for KITTI,
+    # ceiling ~164 m at 131k points).
+    rq = np.clip((r * np.float32(rq_scale)).astype(np.int64),
+                 0, (1 << rq_bits) - 2)
 
     sel = np.flatnonzero(ok)
     # oracle order within a pixel: quantized range, then original index
@@ -344,7 +405,10 @@ def slot_bin_scan(pts: np.ndarray, valid: np.ndarray, H: int, W: int,
     rank = np.arange(len(order)) - np.repeat(starts, np.diff(
         np.concatenate([starts, [len(order)]])))
     keep = rank < spp
-    slot = p_sorted[keep] * spp + rank[keep]
+    if layout == "halves":
+        slot = rank[keep] * n_pix + p_sorted[keep]
+    else:
+        slot = p_sorted[keep] * spp + rank[keep]
 
     out = np.zeros((cap, 4), np.float32)
     out_valid = np.zeros(cap, bool)

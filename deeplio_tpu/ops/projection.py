@@ -673,17 +673,29 @@ def project_batch_ring_aligned_planes(
         wk = (rqv << idx_bits) | idx
         wp1 = _pack_f16x2(x, y)
         wp2 = _pack_f16x2(z, rem)
-        # windowed min: after the doubling rounds, slot s holds the min
-        # over [s, s + 2^t) — group starts (s = p*SPP <= n - SPP) never
-        # read wrapped lanes.
-        d = 1
-        while d < spp:
-            sk = jnp.roll(wk, -d, axis=-1)
+        # Windowed min over each pixel's SPP consecutive slots. Doubling
+        # rounds run while the window stays inside spp (after them slot s
+        # holds the min over [s, s+d), d = largest power of two <= spp);
+        # for non-power-of-two spp one final OVERLAPPING round at shift
+        # spp-d merges [s, s+d) with [s+spp-d, s+spp), which covers
+        # [s, s+spp) exactly because d > spp/2 — min is idempotent, so
+        # the overlap is harmless. Group starts (s = p*SPP <= n - SPP)
+        # never read wrapped lanes: s + spp - 1 <= n - 1.
+        def contest(state, shift):
+            wk, wp1, wp2 = state
+            sk = jnp.roll(wk, -shift, axis=-1)
             take = sk < wk
             wk = jnp.where(take, sk, wk)
-            wp1 = jnp.where(take, jnp.roll(wp1, -d, axis=-1), wp1)
-            wp2 = jnp.where(take, jnp.roll(wp2, -d, axis=-1), wp2)
+            wp1 = jnp.where(take, jnp.roll(wp1, -shift, axis=-1), wp1)
+            wp2 = jnp.where(take, jnp.roll(wp2, -shift, axis=-1), wp2)
+            return wk, wp1, wp2
+
+        d = 1
+        while d * 2 <= spp:
+            wk, wp1, wp2 = contest((wk, wp1, wp2), d)
             d *= 2
+        if d < spp:
+            wk, wp1, wp2 = contest((wk, wp1, wp2), spp - d)
         wk = wk[:, ::spp]
         rq_out = wk >> idx_bits
         maskf = (rq_out < rq_max).astype(jnp.float32)
@@ -738,7 +750,9 @@ def project_batch_ring_halves_planes(
     fov_up_deg: float,
     fov_down_deg: float,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Slot-aligned projection over DUAL-HALF planes — the fastest route.
+    """Slot-aligned projection over DUAL-HALF planes — the fastest route
+    measured on-chip (driver-protocol A/B 2026-08-19: 4767.0 vs trust's
+    4075.2 pairs/s/chip at the flagship; docs/performance.md ledger).
 
     Data contract (:func:`halves_permutation` on top of the slot grid):
     plane position r*n_pix + p holds pixel p's residue-r candidate. The

@@ -53,6 +53,57 @@ def test_matches_xla_ring(check, n, invalid_frac):
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ix))
 
 
+@pytest.mark.parametrize("spp", [3, 5, 6, 7])
+def test_non_power_of_two_spp(spp):
+    """Regression (round-5 advisor, high): the windowed-min doubling loop
+    used to cover next_pow2(spp) slots, so for spp=3/5/6 pixels stole
+    their neighbours' winners (and wrapped at the scan end). The final
+    overlapping round makes the window exactly spp — the route must match
+    the XLA ring path bit-for-bit for any aligned spp, in both check
+    modes, including with invalid points."""
+    n = spp * H * W
+    pts, valid = _ring_cloud(20 + spp, n=n, invalid_frac=0.25)
+    ix, mx = proj.project_batch_ring(pts, valid, H, W, FU, FD,
+                                     payload="carry-f16")
+    for check in ("cond", "assert-off"):
+        ia, ma = _aligned(pts, valid, check)
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mx))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ix))
+
+
+def test_slot_bin_clips_range_to_key_ceiling():
+    """Regression (round-5 advisor, low): slot_bin_scan used to lexsort by
+    UNCLIPPED quantized range; beyond the key ceiling (~164 m at 131k
+    capacity) the host could keep/order candidates differently from the
+    clipped-tie first-index rule the device and oracle share. Scaled-up
+    far points must now reproduce the oracle exactly."""
+    from deeplio_tpu.data.synthetic import slot_bin_scan
+
+    rng = np.random.default_rng(42)
+    n_raw = 3 * H * W
+    pts, _ = _ring_cloud(21, b=1, n=n_raw)
+    pts = np.array(pts[0])  # writable copy (np.asarray of a jax array is RO)
+    # push a third of the cloud past the ceiling (range x50 ~ 250-1000 m)
+    far = rng.uniform(size=n_raw) < 0.33
+    pts[far, :3] *= 50.0
+    pts = pts[rng.permutation(n_raw)]
+    valid = rng.uniform(size=n_raw) >= 0.2
+
+    spp = 2
+    binned, bvalid = slot_bin_scan(pts, valid, H, W, spp, FU, FD)
+    jb, jv = jnp.asarray(binned)[None], jnp.asarray(bvalid)[None]
+    ia, ma = proj.project_batch_ring_aligned_planes(
+        jb[..., 0], jb[..., 1], jb[..., 2], jb[..., 3], jv,
+        H, W, FU, FD, check="assert-off")
+    io, mo = proj.project_scan_np(pts, valid, H, W, FU, FD,
+                                  key_layout="index")
+    np.testing.assert_array_equal(np.asarray(ma[0]), mo)
+    # f16 payload round-trip: ~1e-3 relative at any magnitude (values
+    # here reach ~1000 m, so abs tolerance alone would be misleading).
+    np.testing.assert_allclose(np.asarray(ia[0, ..., :4]), io[..., :4],
+                               rtol=2e-3, atol=0.05)
+
+
 def test_pure_tail_padding():
     # real-loader shape: scan padded to max_points with an invalid tail.
     pts, _ = _ring_cloud(1)
@@ -254,12 +305,12 @@ def test_halves_matches_numpy_oracle_exactly():
 
 def test_halves_knob_and_drive_layout():
     """kernel-aligned=halves through make_projector equals the exact-f32
-    ring dispatch on interleaved data; build_drives wraps drives in
-    PermutedDrive so every consumer gets the layout."""
+    ring dispatch on interleaved data; build_drives makes slot-binned
+    drives emit the dual-half layout straight from the binning pass (no
+    PermutedDrive gather) so every consumer gets the layout."""
     from deeplio_tpu.config import load_config_dict
     from deeplio_tpu.config.schema import ProjectionConfig
     from deeplio_tpu.data.dataset import build_drives
-    from deeplio_tpu.data.drives import PermutedDrive
 
     pts, valid = _ring_cloud(12)
     chans = ("x", "y", "z", "remission", "depth")
@@ -283,14 +334,26 @@ def test_halves_knob_and_drive_layout():
         "deeplo": {"lidar-feat-net": {"name": "lidar-feat-simple-0"},
                    "odom-feat-net": {"name": "odom-feat-fc"}}})
     drives = build_drives(cfg, "train")
-    assert all(isinstance(d, PermutedDrive) for d in drives)
-    with pytest.raises(ValueError, match="halves"):
+    assert all(getattr(d, "slot_layout", None) == "halves" for d in drives)
+    with pytest.raises(ValueError, match="slot-bin|halves"):
         drives[0].labels(0, "/nonexistent")
-    # round-trip: drive points come back in halves layout — projecting
-    # them through the halves route equals the ring path on the inner
-    # drive's interleaved points.
+    # round-trip: drive points come straight back in halves layout —
+    # identical to the slots-layout drive's points under the halves
+    # permutation, and projecting them through the halves route equals
+    # the ring path on the slots-layout points (slots order IS monotone
+    # ring order, so the ring path accepts it directly).
+    trust_cfg = load_config_dict({
+        "arch": "deeplo",
+        "datasets": {"synthetic": True, "kernel-aligned": "trust",
+                     "backend": "pallas-ring", "image-height": H,
+                     "image-width": W, "max-points": N2},
+        "deeplo": {"lidar-feat-net": {"name": "lidar-feat-simple-0"},
+                   "odom-feat-net": {"name": "odom-feat-fc"}}})
     hp, hv = drives[0].points(0)
-    ip, iv = drives[0].inner.points(0)
+    ip, iv = build_drives(trust_cfg, "train")[0].points(0)
+    idx = proj.halves_permutation(N2, H, W)
+    np.testing.assert_array_equal(hp, ip[idx])
+    np.testing.assert_array_equal(hv, iv[idx])
     ia, ma = proj.project_batch_ring_halves_planes(
         jnp.asarray(hp[None, :, 0]), jnp.asarray(hp[None, :, 1]),
         jnp.asarray(hp[None, :, 2]), jnp.asarray(hp[None, :, 3]),
