@@ -7,8 +7,11 @@ loss). The FULL train step runs: device-side spherical projection of every
 window frame, forward, loss, backward, psum, optimizer update. Input
 batches are pre-staged device-resident (3 distinct buffers cycled —
 utils/timing.py measurement rule 3) so the number measures the compiled
-pipeline, not host synthesis of fake data; the real host loader sustains
-this rate via the threaded prefetcher.
+pipeline, not host synthesis of fake data. The HOST side of the pipeline
+is measured separately and honestly by benchmarks/bench_pipeline.py —
+on THIS environment (1 CPU core, ~10 MB/s axon relay) the host cannot
+feed the device at this rate; docs/performance.md "input pipeline"
+section quantifies both ceilings and the multi-core design headroom.
 
 Timeout survivability (the round-2 bench produced rc=124 with ZERO output
 — VERDICT.md): this run streams stage-by-stage progress to stderr and
@@ -190,6 +193,16 @@ def main():
                     pass
         d.setdefault("optimizer", {})[k] = v
         _log(f"optimizer override: {k} = {v!r}")
+    # Same mechanism for the lidar tower section, e.g.
+    # DEEPLIO_BENCH_LIDAR="stem=pair-split". Driver runs leave it unset.
+    for tok in os.environ.get("DEEPLIO_BENCH_LIDAR", "").split():
+        k, v = tok.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            pass
+        d.setdefault("lidar-feat-pointseg", {})[k] = v
+        _log(f"lidar-feat-pointseg override: {k} = {v!r}")
     cfg = load_config_dict(d)
     _wait_for_backend()
     n_chips = len(jax.devices())

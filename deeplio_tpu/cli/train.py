@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override train.seed (init/shuffle/dropout streams)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="-1 = all devices (default from config)")
     p.add_argument("--resume", action="store_true",
@@ -51,6 +53,8 @@ def main(argv=None):
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.data_parallel is not None:
         tr = dataclasses.replace(tr, data_parallel=args.data_parallel)
+    if args.seed is not None:
+        tr = dataclasses.replace(tr, seed=args.seed)
     cfg = cfg.replace(train=tr)
     if args.lr is not None:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))

@@ -376,9 +376,15 @@ class LidarFeatConfig:
         if part not in ("encoder", "encoder+decoder"):
             raise ConfigError(
                 f"part must be encoder|encoder+decoder, got {part!r}")
-        if stem not in ("classic", "s2d", "s2d-pre", "factorized"):
+        if stem not in ("classic", "pair-split", "s2d", "s2d-pre",
+                        "factorized"):
             raise ConfigError(
-                f"stem must be classic|s2d|s2d-pre|factorized, got {stem!r}")
+                "stem must be classic|pair-split|s2d|s2d-pre|factorized, "
+                f"got {stem!r}")
+        if stem == "pair-split" and part != "encoder":
+            raise ConfigError(
+                "stem=pair-split is encoder-only (the seg decoder reads "
+                "the concatenated pair input the split never builds)")
         if fire not in ("classic", "fused", "mixed"):
             raise ConfigError(
                 f"fire must be classic|fused|mixed, got {fire!r}")
@@ -386,12 +392,14 @@ class LidarFeatConfig:
             raise ConfigError(
                 f"pool must be classic|cheap|stride|stride-fold, got {pool!r}")
         if pool == "stride-fold" and (part != "encoder"
-                                      or stem != "classic"):
+                                      or stem not in ("classic",
+                                                      "pair-split")):
             # The fold is exact only while the skips are dead (no decoder)
-            # and the stem is the classic strided 3x3 (models/pointseg.py).
+            # and the stem is the (possibly input-split) strided 3x3
+            # (models/pointseg.py).
             raise ConfigError(
-                "pool=stride-fold requires part=encoder and stem=classic "
-                f"(got part={part!r}, stem={stem!r})")
+                "pool=stride-fold requires part=encoder and a classic or "
+                f"pair-split stem (got part={part!r}, stem={stem!r})")
         return LidarFeatConfig(
             name=name,
             part=part,

@@ -64,30 +64,11 @@ class WindowDataset:
     def __len__(self) -> int:
         return len(self.index)
 
-    def get(self, idx: int) -> Dict[str, np.ndarray]:
-        di, s = self.index[idx]
-        d = self.drives[di]
-        S = self.cfg.sequence_size
+    def _pair_meta(self, d, s):
+        """(imu, imu_mask, x_gt, q_gt, valid) for one window."""
         combos = self.cfg.effective_combinations
         P = len(combos)
         T = self.cfg.max_imu_per_pair
-
-        item: Dict[str, np.ndarray] = {}
-        if self.with_points:
-            pts, vld = zip(*[d.points(s + k) for k in range(S)])
-            # SoA channel planes (train/step.py contract): the host pays
-            # the transpose in the loader threads so the device projection
-            # prologue reads natively-tiled per-plane arrays (no relayout
-            # copy — a fused [S,4,N] array still re-tiles on device).
-            soa = np.stack(pts).transpose(2, 0, 1)    # [4, S, N]
-            for k, key in enumerate(("points_x", "points_y",
-                                     "points_z", "points_rem")):
-                item[key] = np.ascontiguousarray(soa[k])      # [S, N]
-            item["points_valid"] = np.stack(vld)      # [S, N]
-        elif self.image_cache is not None:
-            item["images"] = np.asarray(
-                self.image_cache.images(d, s, s + S))  # [S, H, W, C] f16
-
         imu = np.zeros((P, T, 6), np.float32)
         imu_mask = np.zeros((P, T), np.float32)
         x_gt = np.zeros((P, 3), np.float32)
@@ -105,9 +86,69 @@ class WindowDataset:
             dx, dq = nsp.relative_pose(d.pose(s + i), d.pose(s + j))
             x_gt[pi] = dx.astype(np.float32)
             q_gt[pi] = dq.astype(np.float32)
+        return imu, imu_mask, x_gt, q_gt, valid
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        di, s = self.index[idx]
+        d = self.drives[di]
+        S = self.cfg.sequence_size
+
+        item: Dict[str, np.ndarray] = {}
+        if self.with_points:
+            # SoA channel planes (train/step.py contract): drives cache
+            # the per-scan transpose (points_planes) so window assembly is
+            # pure row memcpy — no per-window transpose/ascontiguousarray.
+            planes, vld = zip(*[d.points_planes(s + k) for k in range(S)])
+            for c, key in enumerate(("points_x", "points_y",
+                                     "points_z", "points_rem")):
+                item[key] = np.stack([p[c] for p in planes])  # [S, N]
+            item["points_valid"] = np.stack(vld)      # [S, N]
+        elif self.image_cache is not None:
+            item["images"] = np.asarray(
+                self.image_cache.images(d, s, s + S))  # [S, H, W, C] f16
+
+        imu, imu_mask, x_gt, q_gt, valid = self._pair_meta(d, s)
         item.update(imu=imu, imu_mask=imu_mask, x_gt=x_gt, q_gt=q_gt, valid=valid)
         item["meta"] = np.asarray([di, s], np.int32)
         return item
+
+    def get_into(self, idx: int, row: int, out: Dict[str, np.ndarray]):
+        """Assemble window ``idx`` DIRECTLY into row ``row`` of a
+        preallocated batch (the collate copy never happens — on a
+        1-core host the batch-assembly copies are the warm-path
+        bottleneck; docs/performance.md round-5 input-pipeline section)."""
+        di, s = self.index[idx]
+        d = self.drives[di]
+        S = self.cfg.sequence_size
+        keys = ("points_x", "points_y", "points_z", "points_rem")
+        for k in range(S):
+            planes, vld = d.points_planes(s + k)
+            r = row * S + k
+            for c, key in enumerate(keys):
+                out[key][r] = planes[c]
+            out["points_valid"][r] = vld
+        (out["imu"][row], out["imu_mask"][row], out["x_gt"][row],
+         out["q_gt"][row], out["valid"][row]) = self._pair_meta(d, s)
+        out["meta"][row] = (di, s)
+
+    def _alloc_batch(self, local: int) -> Dict[str, np.ndarray]:
+        S = self.cfg.sequence_size
+        P = len(self.cfg.effective_combinations)
+        T = self.cfg.max_imu_per_pair
+        N = self.cfg.projection.max_points
+        return {
+            "points_x": np.empty((local * S, N), np.float32),
+            "points_y": np.empty((local * S, N), np.float32),
+            "points_z": np.empty((local * S, N), np.float32),
+            "points_rem": np.empty((local * S, N), np.float32),
+            "points_valid": np.empty((local * S, N), bool),
+            "imu": np.empty((local, P, T, 6), np.float32),
+            "imu_mask": np.empty((local, P, T), np.float32),
+            "x_gt": np.empty((local, P, 3), np.float32),
+            "q_gt": np.empty((local, P, 4), np.float32),
+            "valid": np.empty((local, P), np.float32),
+            "meta": np.empty((local, 2), np.int32),
+        }
 
     def iter_batches(self, batch_size: int, shuffle: bool = True,
                      seed: int = 0, drop_last: bool = True,
@@ -143,17 +184,37 @@ class WindowDataset:
             np.random.default_rng(seed).shuffle(order)
         n = len(order)
         end = (n // batch_size) * batch_size if drop_last else n
+        direct = self.with_points  # get_into fast path (no collate copy)
+
+        def assemble(sel):
+            if not direct:
+                return None
+            out = self._alloc_batch(len(sel))
+            return out
+
         if workers <= 1:
             for b0 in range(0, end, batch_size):
                 sel = order[b0 + lo:b0 + lo + local]
-                items = [self.get(int(i)) for i in sel]
-                yield collate(items)
+                out = assemble(sel)
+                if out is not None:
+                    for row, i in enumerate(sel):
+                        self.get_into(int(i), row, out)
+                    yield out
+                else:
+                    yield collate([self.get(int(i)) for i in sel])
             return
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for b0 in range(0, end, batch_size):
                 sel = order[b0 + lo:b0 + lo + local]
-                items = list(pool.map(self.get, (int(i) for i in sel)))
-                yield collate(items)
+                out = assemble(sel)
+                if out is not None:
+                    list(pool.map(
+                        lambda ri: self.get_into(int(ri[1]), ri[0], out),
+                        enumerate(sel)))
+                    yield out
+                else:
+                    yield collate(list(pool.map(
+                        self.get, (int(i) for i in sel))))
 
     def steps_per_epoch(self, batch_size: int) -> int:
         return len(self) // batch_size

@@ -36,6 +36,15 @@ class Drive:
         """Padded scan i: ([max_points, 4] f32, [max_points] bool)."""
         raise NotImplementedError
 
+    def points_planes(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Scan i as SoA channel planes: ([4, max_points] f32 contiguous,
+        [max_points] bool) — the window dataset's hot-path layout (its
+        batch arrays are per-plane, so plane rows memcpy straight in with
+        no per-window transpose). Subclasses cache this where points are
+        cached."""
+        p, v = self.points(i)
+        return np.ascontiguousarray(p[:, :4].T), v
+
     def frame_time(self, i: int) -> float:
         raise NotImplementedError
 
@@ -67,6 +76,10 @@ class PermutedDrive(Drive):
     def points(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         p, v = self.inner.points(i)
         return p[self.perm], v[self.perm]
+
+    def points_planes(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        p, v = self.inner.points_planes(i)
+        return np.ascontiguousarray(p[:, self.perm]), v[self.perm]
 
     def labels(self, i: int, labels_path: str):
         raise ValueError("per-point labels are incompatible with the "
@@ -326,6 +339,11 @@ class SyntheticDrive(Drive):
 
     def points(self, i: int):
         return self._scan(i)
+
+    @lru_cache(maxsize=None)
+    def points_planes(self, i: int):
+        pts, valid = self._scan(i)
+        return np.ascontiguousarray(pts[:, :4].T), valid
 
     def labels(self, i: int, labels_path: str):
         """Interface parity with KittiRawDrive: slot binning re-orders

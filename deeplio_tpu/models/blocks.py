@@ -18,6 +18,48 @@ import jax
 import jax.numpy as jnp
 
 
+class SplitInputConv(nn.Module):
+    """``conv(concat(a, b), W)`` computed as ``conv(a, W1) + conv(b, W2)``
+    (W split along input features) — mathematically identical, but the
+    channel concat is NEVER materialized. At the flagship this deletes the
+    step's largest copies (the [B*P, H, W, 2C] pair stack + its conv-input
+    relayout, ~1.8 ms/step of pure HBM traffic — docs/performance.md
+    round-5 budget). Param tree matches ``nn.Conv`` (names kernel/bias,
+    same default inits), so a classic-stem checkpoint loads unchanged.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Union[str, Tuple[Tuple[int, int], Tuple[int, int]]]
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, a, b):
+        kh, kw = self.kernel_size
+        ca = a.shape[-1]
+        cin = ca + b.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        pad = self.padding
+        if not isinstance(pad, str):
+            pad = tuple(tuple(p) for p in pad)
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = (jax.lax.conv_general_dilated(
+                 a.astype(self.dtype), k[:, :, :ca], self.strides, pad,
+                 dimension_numbers=dn)
+             + jax.lax.conv_general_dilated(
+                 b.astype(self.dtype), k[:, :, ca:], self.strides, pad,
+                 dimension_numbers=dn))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -33,9 +75,17 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, self.kernel, self.strides,
-                    padding=self.padding,
-                    use_bias=not self.use_bn, dtype=self.dtype)(x)
+        if isinstance(x, (tuple, list)):
+            # pair-split stem: two half-channel inputs, one logical conv
+            # (name pinned to the auto-name nn.Conv would get, so the
+            # param tree is identical across stem modes).
+            x = SplitInputConv(self.features, self.kernel, self.strides,
+                               self.padding, not self.use_bn, self.dtype,
+                               name="Conv_0")(*x)
+        else:
+            x = nn.Conv(self.features, self.kernel, self.strides,
+                        padding=self.padding,
+                        use_bias=not self.use_bn, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              dtype=self.dtype, axis_name=self.axis_name)(x)

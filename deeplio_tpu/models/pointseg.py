@@ -57,7 +57,10 @@ class PointSegEncoder(nn.Module):
     # "factorized": per-frame stem + pair-sum on the downsampled grid
     # (blocks.FactorizedStem) — input is then per-FRAME [B, S, H, W, C]
     # with ``combos`` defining the pairs, instead of the pair stack.
-    stem: str = "classic"  # classic | s2d | s2d-pre | factorized
+    stem: str = "classic"  # classic | pair-split | s2d | s2d-pre | factorized
+    # pair-split: x is an (img_i, img_j) TUPLE; the stem conv splits its
+    # kernel along input features (blocks.SplitInputConv) so the pair
+    # concat is never materialized. Param-identical to stem="classic".
     combos: Tuple[Tuple[int, int], ...] = ()  # factorized stem pairs
     fire: str = "classic"  # classic | fused
     # pool="cheap": (1,2) window instead of the classic overlapping (3,3)
@@ -128,12 +131,15 @@ class PointSegEncoder(nn.Module):
             # explicit: SAME at the composed stride would re-center the
             # 3x3 taps, breaking exactness. With the unfolded pads the
             # folded output x reads exactly the columns the
-            # stem-then-even-slice would.
+            # stem-then-even-slice would. (stem="pair-split" flows through
+            # here too: x is then an (img_i, img_j) tuple and ConvBN
+            # computes the input-split conv — blocks.SplitInputConv.)
             def same_pads(size, s, k=3):
                 total = max((-(-size // s) - 1) * s + k - size, 0)
                 return total // 2, total - total // 2
 
-            H, W = x.shape[1], x.shape[2]
+            ref = x[0] if isinstance(x, (tuple, list)) else x
+            H, W = ref.shape[1], ref.shape[2]
             pads = (same_pads(H, self.h_stride), same_pads(W, self.w_stride))
             ow = -(-(-(-W // self.w_stride)) // 2)  # ceil(ceil(W/w)/2)
             got = (W + pads[1][0] + pads[1][1] - 3) // (2 * self.w_stride) + 1

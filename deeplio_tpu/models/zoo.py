@@ -133,6 +133,15 @@ def _lidar_features(cfg: ModelConfig, axis_name, combos, batch: Batch,
         feat = _make_lidar_net(cfg, dt, axis_name, combos)(
             frames.astype(dt), train)
         return feat, (b, p)
+    if cfg.lidar is not None and cfg.lidar.stem == "pair-split":
+        # images/images2 = pair frame i / frame j stacks [B, P, H, W, C];
+        # the channel concat is computed implicitly by the stem's
+        # input-split conv (blocks.SplitInputConv) and never materialized.
+        left, (b, p) = _flat_pairs(batch["images"])
+        right, _ = _flat_pairs(batch["images2"])
+        feat = _make_lidar_net(cfg, dt, axis_name)(
+            (left.astype(dt), right.astype(dt)), train)
+        return feat, (b, p)
     imgs, (b, p) = _flat_pairs(batch["images"])
     feat = _make_lidar_net(cfg, dt, axis_name)(imgs.astype(dt), train)
     return feat, (b, p)
@@ -208,6 +217,11 @@ def example_batch(cfg: Config, batch_size: int = 2) -> Batch:
         if lc is not None and lc.stem == "factorized":
             batch["frames"] = jnp.zeros(
                 (batch_size, ds.sequence_size, h, w, c), jnp.float32)
+        elif lc is not None and lc.stem == "pair-split":
+            batch["images"] = jnp.zeros((batch_size, p, h, w, c),
+                                        jnp.float32)
+            batch["images2"] = jnp.zeros((batch_size, p, h, w, c),
+                                         jnp.float32)
         elif lc is not None and lc.stem == "s2d-pre":
             hs, ws = lc.h_stride, lc.w_stride
             batch["images"] = jnp.zeros(
@@ -257,7 +271,7 @@ def init_model_fast(cfg: Config, rng: jax.Array, batch_size: int = 2,
     expected = jax.eval_shape(lambda b: model.init(rngs, b, train=False), full)
 
     probe = dict(full)
-    for key in ("images", "frames"):
+    for key in ("images", "images2", "frames"):
         if key in probe:
             b, p, h, w, c = probe[key].shape
             pw = w

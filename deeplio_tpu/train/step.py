@@ -83,6 +83,17 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
             mb["images"] = space_to_depth_pairs(
                 imgs, cfg.datasets.effective_combinations,
                 lc.h_stride, lc.w_stride)          # [B,P,H/h,W/w,h*w*2C]
+        elif lc is not None and lc.stem == "pair-split":
+            # The pair CONCAT never materializes: ship the frame-i and
+            # frame-j stacks separately and let the stem's input-split
+            # conv (blocks.SplitInputConv) consume both — deletes the
+            # step's largest copy chain (the [B*P,H,W,2C] stack + its
+            # conv-input relayout; docs/performance.md round-5 budget).
+            combos = cfg.datasets.effective_combinations
+            mb["images"] = jnp.stack([imgs[:, i] for i, _ in combos],
+                                     axis=1)                    # [B,P,H,W,C]
+            mb["images2"] = jnp.stack([imgs[:, j] for _, j in combos],
+                                      axis=1)                   # [B,P,H,W,C]
         else:
             pairs = []
             for (i, j) in cfg.datasets.effective_combinations:

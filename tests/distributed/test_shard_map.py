@@ -184,3 +184,39 @@ def test_flat_update_rejects_mixed_dtypes():
     with pytest.raises(ValueError, match="flat-update"):
         ravel_trainables({"a": jnp.zeros(3, jnp.float32),
                           "b": jnp.zeros(2, jnp.bfloat16)})
+
+
+def test_dp8_matches_dp1_mid_flagship_path(devices8):
+    """dp8 == dp1 on the FLAGSHIP code path (PointSeg stride-fold tower
+    with the pair-split stem, dual-half slot-aligned projection, LSTMs,
+    soft fusion, LWS) at mid shapes — multi-chip correctness evidence for
+    the program class the bench actually runs, not just the simple tower
+    (VERDICT r4 item 7). Uses __graft_entry__._MID, the same config the
+    driver's dryrun_multichip executes."""
+    import yaml
+
+    import __graft_entry__ as g
+    from deeplio_tpu.config import load_config_dict
+
+    d = yaml.safe_load(g._MID)
+    d["deeplio"]["dropout"] = 0.0  # shard-count-dependent rng stream
+    d["compute-dtype"] = "float32"  # bf16 noise would mask a psum bug
+    cfg = load_config_dict(d)
+
+    outs = {}
+    for n in (1, 8):
+        mesh = make_mesh(data=n, devices=jax.devices()[:n])
+        tx = make_optimizer(cfg.optim, 100)
+        model, variables = init_model(cfg, jax.random.PRNGKey(5),
+                                      axis_name="data")
+        state = create_train_state(variables, init_loss_params(cfg.loss),
+                                   tx, jax.random.PRNGKey(6))
+        state = replicate(mesh, state)
+        train_step, _ = build_train_step(cfg, model, tx, mesh)
+        batch = shard_batch(mesh, g._raw_batch(cfg, batch_size=8, seed=11))
+        s, m = train_step(state, batch)
+        outs[n] = (float(m["loss"]), float(s.loss_params["sx"]),
+                   float(s.loss_params["sq"]))
+    np.testing.assert_allclose(outs[1][0], outs[8][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[1][1], outs[8][1], atol=1e-7)
+    np.testing.assert_allclose(outs[1][2], outs[8][2], atol=1e-7)

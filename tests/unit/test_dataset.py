@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 import yaml
 
-from deeplio_tpu.config import load_config
+from deeplio_tpu.config import load_config, load_config_dict
 from deeplio_tpu.data.dataset import WindowDataset, build_dataset
 from deeplio_tpu.data.drives import SyntheticDrive
 from deeplio_tpu.data import np_spatial as nsp
@@ -162,3 +162,53 @@ class TestCorridorWorld:
             assert valid.any()
         finally:
             os.unlink(f.name)
+
+
+class TestDirectBatchAssembly:
+    """iter_batches' get_into fast path (preallocated batch, no collate
+    copy) must be bit-identical to the reference collate([get(i)...])
+    path, for any worker count, including the ragged tail batch."""
+
+    def _cfg(self):
+        return load_config_dict({
+            "arch": "deeplio",
+            "datasets": {
+                "synthetic": True, "synthetic-frames": 24,
+                "synthetic-train-drives": 2, "sequence-size": 3,
+                "combinations": [[0, 1], [1, 2]], "image-height": 16,
+                "image-width": 128, "max-points": 4096,
+                "kernel-aligned": "halves", "backend": "pallas-ring",
+                "max-imu-per-pair": 8},
+            "deeplio": {"lidar-feat-net": {"name": "lidar-feat-simple-0"},
+                        "imu-feat-net": {"name": "imu-feat-rnn"},
+                        "fusion-net": {"type": "soft"},
+                        "odom-feat-net": {"name": "odom-feat-rnn"}},
+        })
+
+    @pytest.mark.parametrize("workers", [1, 4])
+    def test_equals_collate_path(self, workers):
+        from deeplio_tpu.data.dataset import build_dataset, collate
+
+        ds = build_dataset(self._cfg(), "train")
+        order = np.arange(len(ds))
+        np.random.default_rng(7).shuffle(order)
+        b0 = 0
+        for batch in ds.iter_batches(4, shuffle=True, seed=7,
+                                     workers=workers, drop_last=False):
+            sel = order[b0:b0 + 4]
+            b0 += len(sel)
+            ref = collate([ds.get(int(i)) for i in sel])
+            assert set(batch) == set(ref)
+            for k in ref:
+                np.testing.assert_array_equal(batch[k], ref[k])
+        assert b0 == len(ds)
+
+    def test_points_planes_matches_points(self):
+        from deeplio_tpu.data.dataset import build_drives
+
+        for d in build_drives(self._cfg(), "train"):
+            p, v = d.points(3)
+            pl, vl = d.points_planes(3)
+            np.testing.assert_array_equal(pl, p[:, :4].T)
+            np.testing.assert_array_equal(vl, v)
+            assert pl.flags["C_CONTIGUOUS"]
