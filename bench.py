@@ -107,7 +107,11 @@ PROVISIONAL_ITERS = 4
 # window empty and crash after the provisional emit).
 ITERS = max(int(os.environ.get("DEEPLIO_BENCH_ITERS", 20)),
             PROVISIONAL_ITERS + 1)
-N_BATCHES = 3  # distinct staged input buffers (>=3: measurement rule 3)
+# Distinct staged input buffers (>=3: measurement rule 3). Env override
+# for A/Bs that need spc==N_BATCHES with NO repeated buffer per call
+# (e.g. DEEPLIO_BENCH_NB=4 DEEPLIO_BENCH_SPC=4); extra buffers are
+# device-side rolls, so raising this costs no extra relay transfer.
+N_BATCHES = max(int(os.environ.get("DEEPLIO_BENCH_NB", 3)), 3)
 TARGET = 5000.0
 
 

@@ -98,6 +98,25 @@ def bench_slot_bin(cfg, iters: int = 40, workers: int = 8):
             f"slot_bin_scans_per_sec_{workers}t": round(mt_rate, 1)}
 
 
+def bench_relay(size_mb: int = 64):
+    """Host->device transfer bandwidth (the axon relay on this rig; PCIe
+    on a real TPU host) — the hard ceiling on any host-fed pipeline."""
+    import jax
+
+    buf = np.ones((size_mb * 1024 * 1024 // 4,), np.float32)
+    dev = jax.devices()[0]
+    t = time.time()
+    x = jax.device_put(buf, dev)
+    jax.block_until_ready(x)
+    up = size_mb / (time.time() - t)
+    t = time.time()
+    jax.device_get(x)
+    down = size_mb / (time.time() - t)
+    log(f"relay H2D {up:.1f} MB/s, D2H {down:.1f} MB/s ({size_mb} MB probe)")
+    return {"relay_h2d_mb_per_sec": round(up, 1),
+            "relay_d2h_mb_per_sec": round(down, 1)}
+
+
 def _epoch_stream(dataset, batch_size: int, workers: int):
     """Endless batch stream: chained shuffled epochs (distinct seeds)."""
     for epoch in itertools.count():
@@ -181,7 +200,7 @@ def bench_e2e(cfg, dataset, batches: int, workers: int, spc: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", default="slot-bin,loader,e2e")
+    ap.add_argument("--stages", default="slot-bin,loader,relay,e2e")
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--spc", type=int, default=2)
@@ -193,6 +212,8 @@ def main():
 
     cfg = flagship_cfg(args.drives, args.frames)
     out = {}
+    if "relay" in stages:
+        out.update(bench_relay())
     if "slot-bin" in stages:
         out.update(bench_slot_bin(cfg, workers=args.workers))
     if "loader" in stages or "e2e" in stages:

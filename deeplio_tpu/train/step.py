@@ -90,10 +90,18 @@ def make_model_batch(cfg: Config, projector, raw: Batch) -> Batch:
             # step's largest copy chain (the [B*P,H,W,2C] stack + its
             # conv-input relayout; docs/performance.md round-5 budget).
             combos = cfg.datasets.effective_combinations
-            mb["images"] = jnp.stack([imgs[:, i] for i, _ in combos],
-                                     axis=1)                    # [B,P,H,W,C]
-            mb["images2"] = jnp.stack([imgs[:, j] for _, j in combos],
-                                      axis=1)                   # [B,P,H,W,C]
+            if all(c == (k, k + 1) for k, c in enumerate(combos)):
+                # consecutive pairs (the default window combos): the
+                # stacks are pure frame-range SLICES — no gather/stack
+                # op for XLA to materialize.
+                p = len(combos)
+                mb["images"] = imgs[:, :p]                      # [B,P,H,W,C]
+                mb["images2"] = imgs[:, 1:p + 1]                # [B,P,H,W,C]
+            else:
+                mb["images"] = jnp.stack([imgs[:, i] for i, _ in combos],
+                                         axis=1)                # [B,P,H,W,C]
+                mb["images2"] = jnp.stack([imgs[:, j] for _, j in combos],
+                                          axis=1)               # [B,P,H,W,C]
         else:
             pairs = []
             for (i, j) in cfg.datasets.effective_combinations:

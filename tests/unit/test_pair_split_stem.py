@@ -104,6 +104,31 @@ def test_train_step_runs_and_matches_classic_loss():
                                rtol=1e-4)
 
 
+def test_pair_assembly_slice_fastpath_matches_gather():
+    """make_model_batch's consecutive-combos SLICE fast path must produce
+    exactly the per-combo gathers, and the general (non-consecutive) path
+    must keep working."""
+    import copy
+
+    from deeplio_tpu.train.step import make_model_batch
+
+    rng = np.random.default_rng(1)
+    for combos in ([[0, 1], [1, 2]],          # consecutive -> slice path
+                   [[0, 2], [1, 2]]):         # non-consecutive -> stack path
+        d = copy.deepcopy(BASE)
+        d["datasets"]["combinations"] = combos
+        d["lidar-feat-pointseg"]["stem"] = "pair-split"
+        cfg = load_config_dict(d)
+        imgs = rng.normal(size=(2, 3, 16, 128, 5)).astype(np.float32)
+        raw = {"images": jnp.asarray(imgs),
+               "x_gt": jnp.zeros((2, len(combos), 3))}
+        mb = make_model_batch(cfg, None, raw)
+        np.testing.assert_array_equal(
+            np.asarray(mb["images"]), np.stack([imgs[:, i] for i, _ in combos], 1))
+        np.testing.assert_array_equal(
+            np.asarray(mb["images2"]), np.stack([imgs[:, j] for _, j in combos], 1))
+
+
 def test_pair_split_gates():
     from deeplio_tpu.config import ConfigError
 
