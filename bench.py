@@ -113,6 +113,11 @@ ITERS = max(int(os.environ.get("DEEPLIO_BENCH_ITERS", 20)),
 # device-side rolls, so raising this costs no extra relay transfer.
 N_BATCHES = max(int(os.environ.get("DEEPLIO_BENCH_NB", 3)), 3)
 TARGET = 5000.0
+# Wall-clock point (seconds since process start) past which the final
+# window switches to chunked emission (see main): a healthy run reaches
+# the final window in ~3-4 min; being later than this means the relay is
+# degraded and timeout-survivability outranks the last ~1% of precision.
+RELAY_SLOW_S = float(os.environ.get("DEEPLIO_BENCH_SLOW_S", 400.0))
 
 
 def _sync_scalar(x) -> float:
@@ -300,24 +305,47 @@ def main():
     done = WARMUP
 
     def window(n_iters: int) -> float:
+        """Elapsed seconds for n_iters timed calls (one sync at the end)."""
         nonlocal state, done
         t0 = time.time()
         for i in range(n_iters):
             state, m = call(state, done + i)
         final_loss = _sync_scalar(m["loss"])  # forces the full chain
-        dt = (time.time() - t0) / n_iters
+        dt = time.time() - t0
         done += n_iters
         assert np.isfinite(final_loss)
-        return pairs / dt / n_chips
+        return dt
 
-    v1 = window(PROVISIONAL_ITERS)
+    dt1 = window(PROVISIONAL_ITERS)
+    v1 = pairs * PROVISIONAL_ITERS / dt1 / n_chips
     _log(f"provisional window ({PROVISIONAL_ITERS} iters): {v1:.1f} pairs/s/chip")
     _emit(v1, provisional=True)
 
-    v2 = window(ITERS - PROVISIONAL_ITERS)
+    # Final window. Healthy relay (plenty of timeout budget left): ONE
+    # window with a single terminal sync — the exact protocol every ledger
+    # number used. Degraded relay (final window starting this late risks
+    # the driver's timeout): chunks of PROVISIONAL_ITERS, re-emitting the
+    # cumulative steady-state rate after each chunk so a kill at ANY point
+    # still leaves the tightest number measured so far on stdout (the
+    # driver parses the LAST JSON line). The per-chunk syncs land inside
+    # the timed region, so chunked numbers read a touch low — acceptable
+    # only in the already-degraded regime, hence the gate.
+    remaining = ITERS - PROVISIONAL_ITERS
+    degraded = time.time() - _T0 > RELAY_SLOW_S
+    if degraded:
+        _log(f"degraded relay ({time.time() - _T0:.0f}s elapsed > "
+             f"{RELAY_SLOW_S}s): chunked final window with re-emits")
+    t_sum, n_sum = 0.0, 0
+    while n_sum < remaining:
+        k = min(PROVISIONAL_ITERS, remaining - n_sum) if degraded \
+            else remaining - n_sum
+        t_sum += window(k)
+        n_sum += k
+        v2 = pairs * n_sum / t_sum / n_chips
+        last = n_sum == remaining
+        _log(f"final window {n_sum}/{remaining} iters: {v2:.1f} pairs/s/chip")
+        _emit(v2, provisional=not last)
     assert int(_sync_scalar(state.step)) == (WARMUP + ITERS) * spc
-    _log(f"final window ({ITERS - PROVISIONAL_ITERS} iters): {v2:.1f} pairs/s/chip")
-    _emit(v2, provisional=False)
 
 
 if __name__ == "__main__":

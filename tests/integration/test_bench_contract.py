@@ -49,6 +49,32 @@ def env_xla(cur: str) -> str:
     return (cur + " --xla_force_host_platform_device_count=1").strip()
 
 
+def test_bench_py_degraded_relay_reemits_provisional():
+    """DEEPLIO_BENCH_SLOW_S=0 forces the degraded-relay path: the final
+    window runs in chunks and RE-EMITS an updated provisional after each,
+    so a kill at any point past the first chunk still leaves a
+    steady-state number as the last JSON line (VERDICT r4 weak-5)."""
+    env = dict(os.environ)
+    env.update({
+        "DEEPLIO_BENCH_CPU": "1",
+        "DEEPLIO_BENCH_BATCH": "2",
+        "DEEPLIO_BENCH_WARMUP": "1",
+        "DEEPLIO_BENCH_ITERS": "10",   # final window 6 -> chunks 4 + 2
+        "DEEPLIO_BENCH_SLOW_S": "0",
+        "XLA_FLAGS": env_xla(os.environ.get("XLA_FLAGS", "")),
+    })
+    proc = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines()
+             if l.strip().startswith("{")]
+    # initial provisional + first-chunk re-emit + final
+    assert len(lines) == 3, proc.stdout
+    assert all(l.get("provisional") for l in lines[:-1])
+    assert not lines[-1].get("provisional")
+    assert lines[-1]["value"] > 0
+
+
 def test_dryrun_multichip_contract():
     """The driver's exact invocation; must succeed with no TPU (the
     subprocess liveness probe + virtual-CPU-mesh respawn path) and keep
