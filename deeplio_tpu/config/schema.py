@@ -599,6 +599,12 @@ class TrainConfig:
     # amortizes per-program host dispatch on high-latency device relays.
     # Bit-identical math; epoch tails shorter than k are dropped.
     steps_per_call: int = 1
+    # Stage the whole train/val split into HBM once and gather batches
+    # device-side (data/device_bank.py): steady-state training ships one
+    # [batch] int32 vector per step instead of re-transferring scans.
+    # Bit-equal batches vs the host-fed path; single-process only; the
+    # split must fit in device memory (checked at startup).
+    device_dataset: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "TrainConfig":
@@ -615,6 +621,7 @@ class TrainConfig:
             prefetch=int(_get(d, "prefetch", 2)),
             steps_per_call=int(_get(d, "steps-per-call", 1)),
             cache_projections=bool(_get(d, "cache-projections", False)),
+            device_dataset=bool(_get(d, "device-dataset", False)),
         )
 
 

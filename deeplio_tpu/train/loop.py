@@ -23,7 +23,7 @@ from deeplio_tpu.data.dataset import build_dataset
 from deeplio_tpu.data.pipeline import DevicePrefetcher
 from deeplio_tpu.losses import init_loss_params
 from deeplio_tpu.models import init_model
-from deeplio_tpu.parallel.mesh import make_mesh, replicate
+from deeplio_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from deeplio_tpu.train.checkpoint import CheckpointManager, load_pointseg_backbone
 from deeplio_tpu.train.optim import PlateauController, make_optimizer
 from deeplio_tpu.train.state import create_train_state
@@ -165,6 +165,30 @@ class Trainer:
         self.train_step, self.eval_step = build_train_step(
             cfg, self.model, self.tx, self.mesh, steps_per_call=self.spc)
 
+        # Device-resident dataset (data/device_bank.py): pay the transfer
+        # once, gather batches on device — bit-equal batches, link-free
+        # steady state. Gated on single-process raw-point training.
+        self._train_bank = self._val_bank = None
+        if cfg.train.device_dataset and not eval_only:
+            from deeplio_tpu.data import device_bank as dbank
+            if self.proc_count > 1:
+                raise ValueError("device-dataset is single-process only")
+            if not self.train_ds.with_points:
+                raise ValueError(
+                    "device-dataset needs raw-point training (arch "
+                    "deeplo/deeplio, no cache-projections)")
+            nbytes = dbank.bank_nbytes(self.train_ds) + (
+                dbank.bank_nbytes(self.val_ds) if self.val_ds else 0)
+            self.log.info("staging device-resident dataset (%.0f MB)",
+                          nbytes / 1e6)
+            self._train_bank = dbank.put_bank(
+                dbank.build_host_bank(self.train_ds), self.mesh)
+            if self.val_ds is not None and len(self.val_ds):
+                self._val_bank = dbank.put_bank(
+                    dbank.build_host_bank(self.val_ds), self.mesh)
+            self._bank_train_step, self._bank_eval_step = \
+                dbank.make_bank_steps(self.train_step, self.eval_step)
+
         self.ckpt = CheckpointManager(
             os.path.join(workdir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
@@ -219,12 +243,27 @@ class Trainer:
         # consumed exactly once each (e.g. --profile-steps splits fitting).
         first_epoch = self._epochs_done
         for epoch in range(first_epoch, first_epoch + epochs):
-            it = DevicePrefetcher(
-                self.train_ds.iter_batches(bs, shuffle=True,
-                                           seed=cfg.train.seed + epoch,
-                                           process_index=self.proc_index,
-                                           process_count=self.proc_count),
-                self.mesh, depth=cfg.train.prefetch, global_batch_size=bs)
+            if self._train_bank is not None:
+                # Device-resident feed: same shuffle order as iter_batches
+                # (epoch_indices mirrors its rng), one [bs] int32 vector
+                # shipped per step instead of the scans.
+                from deeplio_tpu.data.device_bank import epoch_indices
+                sh = batch_sharding(self.mesh)
+                it = (jax.device_put(w, sh) for w in epoch_indices(
+                    len(self.train_ds), bs, shuffle=True,
+                    seed=cfg.train.seed + epoch))
+                bank = self._train_bank
+                call = lambda state, *ws: self._bank_train_step(  # noqa: E731
+                    state, bank, *ws)
+            else:
+                it = DevicePrefetcher(
+                    self.train_ds.iter_batches(bs, shuffle=True,
+                                               seed=cfg.train.seed + epoch,
+                                               process_index=self.proc_index,
+                                               process_count=self.proc_count),
+                    self.mesh, depth=cfg.train.prefetch,
+                    global_batch_size=bs)
+                call = self.train_step
             t_last = time.time()
 
             def _after(m, epoch=epoch):
@@ -262,7 +301,7 @@ class Trainer:
 
             if self.spc == 1:
                 for batch in it:
-                    self.state, m = self.train_step(self.state, batch)
+                    self.state, m = call(self.state, batch)
                     _after(m)
                     _periodic_save()
             else:
@@ -274,7 +313,7 @@ class Trainer:
                 for batch in it:
                     group.append(batch)
                     if len(group) == self.spc:
-                        self.state, ms = self.train_step(self.state, *group)
+                        self.state, ms = call(self.state, *group)
                         group.clear()
                         for m in ms:
                             _after(m)
@@ -331,14 +370,24 @@ class Trainer:
         cfg = self.cfg
         sums: Dict[str, float] = {}
         n = 0
-        it = DevicePrefetcher(
-            self.val_ds.iter_batches(cfg.train.batch_size, shuffle=False,
-                                     process_index=self.proc_index,
-                                     process_count=self.proc_count),
-            self.mesh, depth=cfg.train.prefetch,
-            global_batch_size=cfg.train.batch_size)
+        if self._val_bank is not None:
+            from deeplio_tpu.data.device_bank import epoch_indices
+            sh = batch_sharding(self.mesh)
+            it = (jax.device_put(w, sh) for w in epoch_indices(
+                len(self.val_ds), cfg.train.batch_size, shuffle=False))
+            bank = self._val_bank
+            eval_call = lambda state, w: self._bank_eval_step(  # noqa: E731
+                state, bank, w)
+        else:
+            it = DevicePrefetcher(
+                self.val_ds.iter_batches(cfg.train.batch_size, shuffle=False,
+                                         process_index=self.proc_index,
+                                         process_count=self.proc_count),
+                self.mesh, depth=cfg.train.prefetch,
+                global_batch_size=cfg.train.batch_size)
+            eval_call = self.eval_step
         for batch in it:
-            _, _, m = self.eval_step(self.state, batch)
+            _, _, m = eval_call(self.state, batch)
             m = {k: float(jax.device_get(v)) for k, v in m.items()}
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + v

@@ -58,6 +58,32 @@ def test_checkpoint_resume_bit_equal(tmp_path):
     t2.close()
 
 
+def test_device_dataset_trainer_bit_equal(tmp_path):
+    """``train: device-dataset: true`` (data/device_bank.py) must leave
+    training RESULTS untouched: same epochs on the host-fed and
+    device-resident paths end in bit-equal params (same shuffle order,
+    bit-equal batches, same compiled step math)."""
+    import dataclasses
+    cfg = load_config("configs/deeplo_synth.yaml")
+    cfg = cfg.replace(datasets=dataclasses.replace(
+        cfg.datasets, synthetic_frames=14))
+    cfg = _small(cfg, epochs=2, batch_size=4, log_every=100,
+                 checkpoint_every_steps=0, data_parallel=1)
+    t1 = Trainer(cfg, workdir=str(tmp_path / "host"))
+    t1.fit()
+    p_host = jax.device_get(t1.state.params)
+    t1.close()
+
+    t2 = Trainer(_small(cfg, device_dataset=True),
+                 workdir=str(tmp_path / "bank"))
+    assert t2._train_bank is not None
+    t2.fit()
+    p_bank = jax.device_get(t2.state.params)
+    t2.close()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), p_host, p_bank)
+
+
 def test_steps_per_call_checkpoint_labels_match_state(tmp_path):
     """With steps-per-call k>1 the trainer state only exists at group
     boundaries; every orbax step label must equal the step counter INSIDE
