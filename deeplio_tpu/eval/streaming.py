@@ -71,6 +71,11 @@ class StreamingOdometry:
                 mb = {"images": space_to_depth_pairs(
                     jnp.stack([prev_img, img])[None], ((0, 1),),
                     lc.h_stride, lc.w_stride)}
+            elif lc is not None and lc.stem == "pair-split":
+                # The input-split stem takes the frame-i / frame-j stacks
+                # separately (zoo._lidar_features) — no pair concat.
+                mb = {"images": prev_img[None, None],
+                      "images2": img[None, None]}
             else:
                 mb = {"images":
                       jnp.concatenate([prev_img, img], -1)[None, None]}

@@ -45,6 +45,25 @@ def test_streaming_runs_and_chains():
     np.testing.assert_allclose(re[-1][:3, 3], poses[-1][:3, 3], atol=1e-3)
 
 
+def test_streaming_pair_split_stem_matches_classic():
+    """The flagship pins stem=pair-split; streaming must feed it (round-5
+    stream-stage regression: KeyError 'images2') and — since the split
+    conv is an exact rewrite of the classic stem with an IDENTICAL param
+    tree — produce the classic stem's trajectory."""
+    cfg = _tiny_cfg()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    cfg_ps = cfg.replace(model=dataclasses.replace(
+        cfg.model, lidar=dataclasses.replace(cfg.model.lidar,
+                                             stem="pair-split")))
+    model_ps, _ = init_model(cfg_ps, jax.random.PRNGKey(0))
+    drive = SyntheticDrive(n_frames=12, max_points=2048, seed=7)
+    p1, dx1, dq1 = StreamingOdometry(cfg, model, variables, chunk=4).run(drive)
+    p2, dx2, dq2 = StreamingOdometry(cfg_ps, model_ps, variables,
+                                     chunk=4).run(drive)
+    np.testing.assert_allclose(dx1, dx2, atol=1e-5)
+    np.testing.assert_allclose(dq1, dq2, atol=1e-6)
+
+
 def test_streaming_chunk_invariance():
     """Chunk size is an implementation detail: results must not change."""
     cfg = _tiny_cfg()
