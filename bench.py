@@ -255,11 +255,14 @@ def main():
     # steps-per-call: k optimizer steps per compiled program, each timed
     # call consuming k distinct batches (last-ulp-exact vs sequential
     # steps — tests/distributed/test_shard_map.py). Default 2, ADOPTED from the
-    # round-4 on-chip A/B: spc1 3421.2 / spc2 3484.4 / spc4 3499.0
+    # round-5 on-chip A/B at the halves/pair-split flagship (2026-08-19,
+    # benchmarks/r5b_measure.sh): spc2 4945.8 / spc3 4969.5 (+0.5%) —
+    # three distinct staged buffers per call, no repeats at N_BATCHES=3.
+    # Earlier round-4 ladder: spc1 3421.2 / spc2 3484.4 / spc4 3499.0
     # pairs/s/chip — spc2 captures the ~1.3 ms/call relay dispatch gap;
     # spc4's extra +0.4% is noise-level and repeats a staged batch within
     # one call (N_BATCHES=3). Env override for A/Bs only.
-    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "2")), 1)
+    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "3")), 1)
     if spc > 1:
         _log(f"steps-per-call: {spc}")
     train_step, _ = build_train_step(cfg, model, tx, mesh,
