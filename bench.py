@@ -113,11 +113,18 @@ ITERS = max(int(os.environ.get("DEEPLIO_BENCH_ITERS", 20)),
 # device-side rolls, so raising this costs no extra relay transfer.
 N_BATCHES = max(int(os.environ.get("DEEPLIO_BENCH_NB", 3)), 3)
 TARGET = 5000.0
-# Wall-clock point (seconds since process start) past which the final
-# window switches to chunked emission (see main): a healthy run reaches
-# the final window in ~3-4 min; being later than this means the relay is
-# degraded and timeout-survivability outranks the last ~1% of precision.
-RELAY_SLOW_S = float(os.environ.get("DEEPLIO_BENCH_SLOW_S", 400.0))
+# Wall-clock budget for the whole process: the driver runs
+# `timeout 590 python bench.py`, minus a small margin for the final emit.
+# The degraded-relay decision (see main) compares the REMAINING budget
+# against the measured cost of the final window (known from the
+# provisional window), not elapsed time alone: a slow relay prologue
+# (172 s transfer probe + 98 s 1-core param init, observed 2026-08-20)
+# can burn 400+ s and still leave 3 minutes of budget for a ~1.5 s
+# unchunked window — and the chunked mode's per-chunk relay syncs land
+# inside the timed region, costing real measured rate on exactly the
+# slow-relay days that trigger it (measured: 4,613.2 chunked vs 4,980.8
+# unchunked at the identical committed flagship, 2026-08-20 vs -19).
+BUDGET_S = float(os.environ.get("DEEPLIO_BENCH_BUDGET_S", 585.0))
 
 
 def _sync_scalar(x) -> float:
@@ -324,20 +331,25 @@ def main():
     _log(f"provisional window ({PROVISIONAL_ITERS} iters): {v1:.1f} pairs/s/chip")
     _emit(v1, provisional=True)
 
-    # Final window. Healthy relay (plenty of timeout budget left): ONE
-    # window with a single terminal sync — the exact protocol every ledger
-    # number used. Degraded relay (final window starting this late risks
-    # the driver's timeout): chunks of PROVISIONAL_ITERS, re-emitting the
-    # cumulative steady-state rate after each chunk so a kill at ANY point
-    # still leaves the tightest number measured so far on stdout (the
-    # driver parses the LAST JSON line). The per-chunk syncs land inside
-    # the timed region, so chunked numbers read a touch low — acceptable
-    # only in the already-degraded regime, hence the gate.
+    # Final window. Enough budget left for the full window: ONE window
+    # with a single terminal sync — the exact protocol every ledger number
+    # used. Budget nearly exhausted (the relay prologue ate it): chunks of
+    # PROVISIONAL_ITERS, re-emitting the cumulative steady-state rate
+    # after each chunk so a kill at ANY point still leaves the tightest
+    # number measured so far on stdout (the driver parses the LAST JSON
+    # line). The per-chunk syncs land inside the timed region, so chunked
+    # numbers read a touch low — acceptable only when the alternative is
+    # risking rc=124 with only the 4-iter provisional emitted, hence the
+    # gate: remaining budget vs 4x the window cost the provisional window
+    # just measured (+45 s for a straggling terminal sync).
     remaining = ITERS - PROVISIONAL_ITERS
-    degraded = time.time() - _T0 > RELAY_SLOW_S
+    budget_left = BUDGET_S - (time.time() - _T0)
+    est_full = dt1 * remaining / PROVISIONAL_ITERS
+    degraded = budget_left < 4.0 * est_full + 45.0
     if degraded:
-        _log(f"degraded relay ({time.time() - _T0:.0f}s elapsed > "
-             f"{RELAY_SLOW_S}s): chunked final window with re-emits")
+        _log(f"degraded relay (budget left {budget_left:.0f}s < "
+             f"4x{est_full:.1f}s window + 45s): chunked final window "
+             f"with re-emits")
     t_sum, n_sum = 0.0, 0
     while n_sum < remaining:
         k = min(PROVISIONAL_ITERS, remaining - n_sum) if degraded \

@@ -50,17 +50,18 @@ def env_xla(cur: str) -> str:
 
 
 def test_bench_py_degraded_relay_reemits_provisional():
-    """DEEPLIO_BENCH_SLOW_S=0 forces the degraded-relay path: the final
-    window runs in chunks and RE-EMITS an updated provisional after each,
-    so a kill at any point past the first chunk still leaves a
-    steady-state number as the last JSON line (VERDICT r4 weak-5)."""
+    """DEEPLIO_BENCH_BUDGET_S=0 forces the degraded-relay path (no budget
+    left for an unchunked final window): the final window runs in chunks
+    and RE-EMITS an updated provisional after each, so a kill at any
+    point past the first chunk still leaves a steady-state number as the
+    last JSON line (VERDICT r4 weak-5)."""
     env = dict(os.environ)
     env.update({
         "DEEPLIO_BENCH_CPU": "1",
         "DEEPLIO_BENCH_BATCH": "2",
         "DEEPLIO_BENCH_WARMUP": "1",
         "DEEPLIO_BENCH_ITERS": "10",   # final window 6 -> chunks 4 + 2
-        "DEEPLIO_BENCH_SLOW_S": "0",
+        "DEEPLIO_BENCH_BUDGET_S": "0",
         "XLA_FLAGS": env_xla(os.environ.get("XLA_FLAGS", "")),
     })
     proc = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
