@@ -107,11 +107,11 @@ PROVISIONAL_ITERS = 4
 # window empty and crash after the provisional emit).
 ITERS = max(int(os.environ.get("DEEPLIO_BENCH_ITERS", 20)),
             PROVISIONAL_ITERS + 1)
-# Distinct staged input buffers (>=3: measurement rule 3). Env override
-# for A/Bs that need spc==N_BATCHES with NO repeated buffer per call
-# (e.g. DEEPLIO_BENCH_NB=4 DEEPLIO_BENCH_SPC=4); extra buffers are
-# device-side rolls, so raising this costs no extra relay transfer.
-N_BATCHES = max(int(os.environ.get("DEEPLIO_BENCH_NB", 3)), 3)
+# Distinct staged input buffers (>=3: measurement rule 3; default 6 so
+# the spc=6 default cycles 6 distinct buffers with NO repeats per call).
+# Extra buffers are device-side rolls, so raising this costs no extra
+# relay transfer (~1 s each to stage).
+N_BATCHES = max(int(os.environ.get("DEEPLIO_BENCH_NB", 6)), 3)
 TARGET = 5000.0
 # Wall-clock budget for the whole process: the driver runs
 # `timeout 590 python bench.py`, minus a small margin for the final emit.
@@ -261,15 +261,16 @@ def main():
 
     # steps-per-call: k optimizer steps per compiled program, each timed
     # call consuming k distinct batches (last-ulp-exact vs sequential
-    # steps — tests/distributed/test_shard_map.py). Default 2, ADOPTED from the
-    # round-5 on-chip A/B at the halves/pair-split flagship (2026-08-19,
-    # benchmarks/r5b_measure.sh): spc2 4945.8 / spc3 4969.5 (+0.5%) —
-    # three distinct staged buffers per call, no repeats at N_BATCHES=3.
-    # Earlier round-4 ladder: spc1 3421.2 / spc2 3484.4 / spc4 3499.0
-    # pairs/s/chip — spc2 captures the ~1.3 ms/call relay dispatch gap;
-    # spc4's extra +0.4% is noise-level and repeats a staged batch within
-    # one call (N_BATCHES=3). Env override for A/Bs only.
-    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "3")), 1)
+    # steps — tests/distributed/test_shard_map.py). Default 6, ADOPTED
+    # from the round-5 on-chip A/B ladder at the halves/pair-split
+    # flagship (benchmarks/r5b_measure.sh, r5d_measure.sh): spc2 4945.8 /
+    # spc3 4969.5 / spc6+NB6 5023.7 pairs/s/chip (same-session spc3
+    # anchor 4975.2) — per-call relay dispatch costs ~1 ms on a healthy
+    # relay and ~6 ms on a degraded one, so deeper amortization matters
+    # most on exactly the days the grading run risks. All six buffers per
+    # call are distinct (N_BATCHES=6, no repeats). Earlier round-4
+    # ladder: spc1 3421.2 / spc2 3484.4. Env override for A/Bs only.
+    spc = max(int(os.environ.get("DEEPLIO_BENCH_SPC", "6")), 1)
     if spc > 1:
         _log(f"steps-per-call: {spc}")
     train_step, _ = build_train_step(cfg, model, tx, mesh,
